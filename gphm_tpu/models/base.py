@@ -1,0 +1,182 @@
+"""Shared training driver: chunked lax.scan epochs with reference eval cadence.
+
+The reference trains with a Python-level loop dispatching one jitted step per
+epoch plus tqdm (reference: code/model_GP_solver_1d.py:234-276) — on TPU that
+would be dispatch-latency-bound. Here the epochs between evaluation points run
+as a single ``lax.scan`` inside one jitted call, so the device executes
+thousands of optimization steps per host round-trip. Host synchronization
+happens only at the reference's evaluation cadence: an eval after step ``i``
+whenever ``i % (nepoch / 20) == 0`` (reference: code/model_GP_solver_1d.py:242),
+which is also where min-error tracking and early stopping live.
+
+Early-stop modes reproduce each reference solver's behaviour:
+  * "off"          — 1D single / advection (the check is commented out there,
+                     reference: code/model_GP_solver_1d.py:272-276,
+                     code/model_GP_solver_advection.py:322-328).
+  * "tol"          — 2D: stop when criterion < tol, only if tol > 0
+                     (reference: code/model_GP_solver_2d.py:327-332).
+  * "tol_or_count" — extra-GP: stop when i > 0 and (criterion < tol or the
+                     eval error rose above the running min by > 1e-3 more than
+                     7 times) (reference: code/model_GP_solver_1d_extra.py:317-322).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+import optax
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Mutable driver state; phase hooks may swap the callables mid-run."""
+
+    params: dict
+    opt_state: object
+    run_chunk: Callable          # (params, opt_state, nsteps) -> (p, s, loss)
+    eval_fn: Callable            # params -> relative-L2 error (device scalar)
+    criterion_fn: Callable       # params -> early-stop criterion
+    param_log_fn: Optional[Callable] = None
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: dict
+    opt_state: object
+    log: Dict[str, List]
+    min_err: float
+    early_stopping: Dict
+    wall_time: float
+    extras: Dict = dataclasses.field(default_factory=dict)
+
+
+def eval_epochs(nepoch: int) -> List[int]:
+    """Epoch indices after which the reference evaluates: i % (nepoch/20) == 0
+    with float modulo (reference: code/model_GP_solver_1d.py:242)."""
+    period = nepoch / 20
+    if period <= 0:
+        return list(range(nepoch))
+    return [i for i in range(nepoch) if i % period == 0]
+
+
+def make_step_fn(loss_fn: Callable, optimizer: optax.GradientTransformation):
+    """One optimization step (reference: code/model_GP_solver_1d.py:151-158)."""
+
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_chunk_runner(loss_fn: Callable,
+                      optimizer: optax.GradientTransformation):
+    """Jitted scan over a static number of steps; returns final loss only."""
+    step_fn = make_step_fn(loss_fn, optimizer)
+
+    @partial(jax.jit, static_argnums=(2,), donate_argnums=(0, 1))
+    def run_chunk(params, opt_state, nsteps: int):
+        def body(carry, _):
+            params, opt_state = carry
+            params, opt_state, loss = step_fn(params, opt_state)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), xs=None, length=nsteps)
+        return params, opt_state, losses[-1]
+
+    return run_chunk
+
+
+def chunked_train(
+    *,
+    state: TrainState,
+    nepoch: int,
+    tol: float = -1.0,
+    early_stop_mode: str = "off",
+    phase_boundaries: Optional[List[int]] = None,
+    phase_hook: Optional[Callable] = None,   # (epoch, state) -> state
+    on_eval: Optional[Callable] = None,      # host callback(epoch, err, loss)
+    verbose: bool = True,
+) -> TrainResult:
+    """Run the reference training protocol with scan-fused epochs.
+
+    ``phase_boundaries`` are epoch counts at which ``phase_hook`` must run
+    (e.g. the two-GP change point); chunks are split there as well as at the
+    evaluation cadence.
+    """
+    evals = eval_epochs(nepoch)
+    eval_set = set(evals)
+
+    targets = sorted(set([e + 1 for e in evals] + [nepoch]
+                         + [b for b in (phase_boundaries or [])
+                            if 0 < b < nepoch]))
+
+    start = time.time()
+    log: Dict[str, List] = {"loss_list": [], "err_list": [], "epoch_list": []}
+    min_err = 2.0   # reference sentinel (code/model_GP_solver_1d.py:227)
+    threshold = 1e-3
+    error_increase_count = 0
+    early_stopping = {"flag": False, "epoch": nepoch}
+    fired = set()
+
+    epoch = 0
+    loss = float("nan")
+    for t in targets:
+        nsteps = t - epoch
+        if nsteps > 0:
+            state.params, state.opt_state, loss = state.run_chunk(
+                state.params, state.opt_state, nsteps)
+        epoch = t
+
+        if phase_hook is not None and epoch in (phase_boundaries or []) \
+                and epoch not in fired:
+            fired.add(epoch)
+            state = phase_hook(epoch, state)
+
+        i = epoch - 1
+        if i in eval_set:
+            err = float(state.eval_fn(state.params))
+            loss_f = float(loss)
+            if err < min_err:
+                min_err = err
+            elif err - min_err > threshold:
+                error_increase_count += 1
+
+            log["loss_list"].append(np.log(loss_f) if loss_f > 1 else loss_f)
+            log["err_list"].append(err)
+            log["epoch_list"].append(i)
+            if state.param_log_fn is not None:
+                for k, v in state.param_log_fn(state.params).items():
+                    log.setdefault(k, []).append(np.asarray(v))
+
+            criterion = float(state.criterion_fn(state.params))
+            if verbose:
+                print(f"It {i}  loss = {loss_f:g}  rel-L2 {err:g}  "
+                      f"min {min_err:g}  criterion {criterion:g}")
+            if on_eval is not None:
+                on_eval(i, err, loss_f)
+
+            stop = False
+            if early_stop_mode == "tol":
+                stop = tol > 0 and criterion < tol
+            elif early_stop_mode == "tol_or_count":
+                stop = i > 0 and (criterion < tol
+                                  or error_increase_count > 7)
+            if stop:
+                early_stopping = {"flag": True, "epoch": i}
+                if verbose:
+                    print(f"early stop at epoch {i}")
+                break
+
+    return TrainResult(params=state.params, opt_state=state.opt_state,
+                       log=log, min_err=min_err,
+                       early_stopping=early_stopping,
+                       wall_time=time.time() - start)

@@ -1,0 +1,186 @@
+"""Two-GP residual ("extra GP") solver for hard multi-scale 1D problems.
+
+Reference: ``GP_solver_1d_extra`` (code/model_GP_solver_1d_extra.py:31-339).
+Phase 1 trains the spectral-mixture GP as usual; at
+``change_point * nepoch`` the mixture GP is frozen and a second GP with a
+plain Matern-5/2 kernel is trained on the residual; predictions are the sum.
+
+TPU redesign notes:
+  * The reference recomputes the frozen base GP's Gram matrix, solve, and
+    u_xx **every phase-2 step** (code/model_GP_solver_1d_extra.py:110) even
+    though the base parameters never change. Here they are computed once at
+    the phase switch and closed over as constants, removing an O(N^3 + N^2 Q)
+    dead computation from the phase-2 hot loop. The trajectory is unchanged.
+  * The reference's eval at exactly the change-point epoch calls the extra
+    predictor with base-GP parameters (code/model_GP_solver_1d_extra.py:289-291)
+    — an indexing quirk that yields a meaningless logged error for that single
+    eval. We evaluate the phase-1 predictor there instead.
+  * Phase-2 early stopping keeps reference semantics: the tol criterion is
+    computed on the *frozen base* parameters (so it is constant through phase
+    2; code/model_GP_solver_1d_extra.py:314), and the error-increase counter
+    drives the stop (> 7 increases of min_err by > 1e-3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gphm_tpu.models.base import TrainResult, TrainState, chunked_train, \
+    make_chunk_runner
+from gphm_tpu.models.solver_1d import Solver1D
+from gphm_tpu.ops.chol import robust_cholesky
+from gphm_tpu.ops.kernels import get_kernel
+from gphm_tpu.precision import Policy
+from gphm_tpu.problems.equations import Problem1D
+
+
+class Solver1DExtra(Solver1D):
+    def __init__(self, problem: Problem1D, kernel, config: dict,
+                 policy: Optional[Policy] = None,
+                 kernel_extra="Matern52_1d"):
+        super().__init__(problem, kernel, config, policy)
+        self.kernel_extra = (get_kernel(kernel_extra)
+                             if isinstance(kernel_extra, str) else kernel_extra)
+        self.optimizer_extra = optax.adam(learning_rate=config["lr"])
+
+    # ------------------------------------------------------------------
+    def _factor_extra(self, kernel_paras):
+        K = self.kernel_extra.kappa(self.tau, kernel_paras)
+        K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
+        return robust_cholesky(K, self.jitter, self.policy.jitter_growth,
+                               self.policy.max_jitter_tries)
+
+    def make_loss_extra(self, u_base, u_xx_base):
+        """Phase-2 loss with the frozen base lifted out as constants
+        (reference formula: code/model_GP_solver_1d_extra.py:106-141)."""
+
+        def loss_extra(params_extra):
+            # "sum over trick" (num_u_trick == 1 in every shipped config,
+            # reference: code/model_GP_solver_1d_extra.py:114)
+            u_extra = params_extra["u"].sum(axis=1).reshape(-1, 1)
+            kp = params_extra["kernel_paras"]
+            F = self._factor_extra(kp)
+            alpha = F.solve(u_extra)
+            u_xx_extra = self.kernel_extra.d2(self.tau, kp) @ alpha
+
+            boundary_gap = jnp.sum(
+                (u_base[self.bc_idx].reshape(-1)
+                 + u_extra[self.bc_idx].reshape(-1) - self.bc_vals) ** 2)
+            if self.eq_type == "poisson_1d":
+                res = u_xx_base + u_xx_extra - self.src
+            elif self.eq_type == "allencahn_1d":
+                u_tot = u_base + u_extra
+                res = u_xx_base + u_xx_extra \
+                    + u_tot * (u_tot ** 2 - 1) - self.src
+            else:
+                raise NotImplementedError(self.eq_type)
+            eq_gap = jnp.sum(res ** 2)
+
+            log_prior = -0.5 * F.logdet() * self.logdet_flag \
+                - 0.5 * jnp.sum(u_extra * alpha)
+            log_boundary_ll = 0.5 * self.N_b * params_extra["log_tau"] \
+                - 0.5 * jnp.exp(params_extra["log_tau"]) * boundary_gap
+            eq_ll = 0.5 * self.N_col * params_extra["log_v"] \
+                - 0.5 * jnp.exp(params_extra["log_v"]) * eq_gap
+            return -(log_prior + log_boundary_ll * self.llk_weight + eq_ll)
+
+        return loss_extra
+
+    def make_predict_extra(self, preds_base):
+        """preds(base) + Kmn_extra K_extra^-1 u_extra
+        (reference: code/model_GP_solver_1d_extra.py:153-182)."""
+
+        def predict_extra(params_extra):
+            u_extra = params_extra["u"].sum(axis=1).reshape(-1, 1)
+            kp = params_extra["kernel_paras"]
+            F = self._factor_extra(kp)
+            alpha = F.solve(u_extra)
+            Kmn = self.kernel_extra.kappa(self.tau_test, kp)
+            return preds_base + (Kmn @ alpha).reshape(-1)
+
+        return predict_extra
+
+    def init_params_extra(self, base_params):
+        """Reference phase-2 init (code/model_GP_solver_1d_extra.py:269-278)."""
+        d = self.policy.dtype
+        return {
+            "log_tau": jnp.asarray(base_params["log_tau"], d),
+            "log_v": jnp.zeros((), d),
+            "kernel_paras": {
+                "log-w": jnp.zeros((1,), d),
+                "log-ls": jnp.zeros((1,), d),
+            },
+            "u": jnp.zeros((self.N_col, 1), d),
+        }
+
+    # ------------------------------------------------------------------
+    def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
+              on_eval=None) -> TrainResult:
+        del seed  # deterministic; phase-1/2 losses ignore their RNG keys
+        change_point = int(nepoch * float(self.config["change_point"]))
+        solver = self
+
+        state = TrainState(
+            params=self.init_params(),
+            opt_state=None,
+            run_chunk=make_chunk_runner(self._loss, self.optimizer),
+            eval_fn=self.eval_err,
+            criterion_fn=self.criterion,
+            param_log_fn=jax.jit(self.param_log),
+        )
+        state.opt_state = self.optimizer.init(state.params)
+        base_holder = {}
+
+        def phase_hook(epoch, st: TrainState) -> TrainState:
+            # Fires after completing step i == change_point
+            # (reference switch: code/model_GP_solver_1d_extra.py:263-282).
+            base_params = jax.tree_util.tree_map(lambda x: x, st.params)
+            base_holder["params"] = base_params
+
+            F = solver._factor(base_params["kernel_paras"])
+            alpha = F.solve(base_params["u"])
+            u_xx_base = solver._u_xx(base_params["kernel_paras"], alpha)
+            u_base = base_params["u"]
+            preds_base = solver._predict(base_params)
+
+            loss_extra = solver.make_loss_extra(u_base, u_xx_base)
+            predict_extra = solver.make_predict_extra(preds_base)
+
+            def eval_extra(params_extra):
+                diff = predict_extra(params_extra) - solver.u_test.reshape(-1)
+                return jnp.linalg.norm(diff) / jnp.linalg.norm(solver.u_test)
+
+            # criterion stays on the frozen base params
+            # (reference: code/model_GP_solver_1d_extra.py:314)
+            base_criterion = solver.criterion(base_params)
+
+            # phase-2 mixture-parameter logging keeps appending the frozen
+            # base values, as the reference does
+            # (code/model_GP_solver_1d_extra.py:308-310)
+            base_stats = {k: jnp.asarray(v) for k, v in
+                          solver.param_log(base_params).items()}
+
+            params_extra = solver.init_params_extra(base_params)
+            return TrainState(
+                params=params_extra,
+                opt_state=solver.optimizer_extra.init(params_extra),
+                run_chunk=make_chunk_runner(loss_extra,
+                                            solver.optimizer_extra),
+                eval_fn=jax.jit(eval_extra),
+                criterion_fn=lambda _p: base_criterion,
+                param_log_fn=lambda _p: base_stats,
+            )
+
+        result = chunked_train(
+            state=state, nepoch=nepoch,
+            tol=float(self.config.get("tol", -1.0)),
+            early_stop_mode="tol_or_count",
+            phase_boundaries=[change_point + 1],
+            phase_hook=phase_hook,
+            on_eval=on_eval, verbose=verbose)
+        result.extras["base_params"] = base_holder.get("params")
+        return result

@@ -1,0 +1,173 @@
+"""1D GP-HM solver: Poisson (u_xx = f) and Allen-Cahn (u_xx + u(u^2-1) = f).
+
+Capability parity with the reference ``GP_solver_1d_single``
+(reference: code/model_GP_solver_1d.py:31-296), redesigned TPU-first:
+
+  * Gram and second-derivative cross-covariance matrices come from the
+    closed-form batched kernel layer (one broadcasted VPU pass each) instead of
+    vmap-over-N^2 scalar autodiff.
+  * One Cholesky factorization per step supplies the solve, the quadratic
+    form, and the log-determinant (the reference pays an LU for the solve and
+    a second LU for slogdet inside value_and_grad,
+    code/model_GP_solver_1d.py:92,135-137).
+  * The MAP objective is identical term by term:
+        -log_joint,  log_joint = log_prior + llk_weight * log_boundary_ll + eq_ll
+        log_prior       = -0.5 logdet(K) * logdet_flag - 0.5 u'K^-1 u
+        log_boundary_ll = 0.5 N_b log_tau - 0.5 e^{log_tau} * boundary_gap
+        eq_ll           = 0.5 N_col log_v - 0.5 e^{log_v} * eq_gap
+    (reference: code/model_GP_solver_1d.py:123-149).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gphm_tpu.models.base import TrainResult, TrainState, chunked_train, \
+    make_chunk_runner
+from gphm_tpu.ops.chol import robust_cholesky
+from gphm_tpu.ops.kernels import StationaryKernel, get_kernel, \
+    init_mixture_params
+from gphm_tpu.precision import Policy, default_policy
+from gphm_tpu.problems.equations import Problem1D
+
+
+class Solver1D:
+    """Functional solver: all hot paths are pure jitted functions."""
+
+    def __init__(self, problem: Problem1D, kernel, config: dict,
+                 policy: Optional[Policy] = None):
+        self.problem = problem
+        self.kernel: StationaryKernel = (
+            get_kernel(kernel) if isinstance(kernel, str) else kernel)
+        self.config = dict(config)
+        self.policy = policy or default_policy()
+        p = self.policy
+
+        self.X_col = jnp.asarray(problem.X_col, p.dtype)
+        self.src = jnp.asarray(problem.src, p.dtype).reshape(-1, 1)
+        self.bc_idx = np.asarray(problem.bc_idx)
+        self.bc_vals = jnp.asarray(problem.bc_vals, p.dtype).reshape(-1)
+        self.X_test = jnp.asarray(problem.X_test, p.dtype)
+        self.u_test = jnp.asarray(problem.u_test, p.dtype)
+        self.N_col = int(self.X_col.shape[0])
+        self.N_b = int(self.bc_vals.shape[0])
+
+        self.tau = self.X_col[:, None] - self.X_col[None, :]
+        self.tau_test = self.X_test[:, None] - self.X_col[None, :]
+
+        self.optimizer = optax.adam(learning_rate=config["lr"])
+        self.jitter = float(config.get("jitter", 1e-6))
+        self.llk_weight = float(config["llk_weight"])
+        self.logdet_flag = float(bool(config.get("logdet", True)))
+        self.eq_type = problem.eq_type
+
+        self.loss = jax.jit(self._loss)
+        self.predict = jax.jit(self._predict)
+        self.criterion = jax.jit(self._criterion)
+        self.eval_err = jax.jit(self._eval_err)
+
+    # ------------------------------------------------------------------
+    # model internals
+    # ------------------------------------------------------------------
+    def _factor(self, kernel_paras):
+        K = self.kernel.kappa(self.tau, kernel_paras)
+        K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
+        return robust_cholesky(K, self.jitter, self.policy.jitter_growth,
+                               self.policy.max_jitter_tries)
+
+    def _u_xx(self, kernel_paras, alpha):
+        K_dxx = self.kernel.d2(self.tau, kernel_paras)
+        return K_dxx @ alpha
+
+    def residual(self, u, u_xx):
+        """PDE residual at collocation points
+        (reference: code/model_GP_solver_1d.py:101-121)."""
+        if self.eq_type == "poisson_1d":
+            return u_xx - self.src
+        if self.eq_type == "allencahn_1d":
+            return u_xx + u * (u ** 2 - 1) - self.src
+        raise NotImplementedError(self.eq_type)
+
+    def gaps(self, params):
+        u = params["u"]
+        F = self._factor(params["kernel_paras"])
+        alpha = F.solve(u)
+        u_xx = self._u_xx(params["kernel_paras"], alpha)
+        boundary_gap = jnp.sum(
+            (u[self.bc_idx].reshape(-1) - self.bc_vals) ** 2)
+        eq_gap = jnp.sum(self.residual(u, u_xx) ** 2)
+        return F, alpha, boundary_gap, eq_gap
+
+    def _loss(self, params):
+        u = params["u"]
+        F, alpha, boundary_gap, eq_gap = self.gaps(params)
+        log_prior = -0.5 * F.logdet() * self.logdet_flag \
+            - 0.5 * jnp.sum(u * alpha)
+        log_boundary_ll = 0.5 * self.N_b * params["log_tau"] \
+            - 0.5 * jnp.exp(params["log_tau"]) * boundary_gap
+        eq_ll = 0.5 * self.N_col * params["log_v"] \
+            - 0.5 * jnp.exp(params["log_v"]) * eq_gap
+        return -(log_prior + log_boundary_ll * self.llk_weight + eq_ll)
+
+    def _predict(self, params, tau_test=None):
+        """Posterior mean at test points: Kmn K^-1 u
+        (reference: code/model_GP_solver_1d.py:160-180)."""
+        F = self._factor(params["kernel_paras"])
+        alpha = F.solve(params["u"])
+        t = self.tau_test if tau_test is None else tau_test
+        Kmn = self.kernel.kappa(t, params["kernel_paras"])
+        return (Kmn @ alpha).reshape(-1)
+
+    def _eval_err(self, params):
+        preds = self._predict(params)
+        diff = preds - self.u_test.reshape(-1)
+        return jnp.linalg.norm(diff) / jnp.linalg.norm(self.u_test)
+
+    def _criterion(self, params):
+        """Early-stop criterion boundary_gap/N_b + eq_gap/N_col
+        (reference: code/model_GP_solver_1d.py:182-191)."""
+        _, _, boundary_gap, eq_gap = self.gaps(params)
+        return boundary_gap / self.N_b + eq_gap / self.N_col
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+    def init_params(self):
+        """Reference init (code/model_GP_solver_1d.py:203-213)."""
+        d = self.policy.dtype
+        return {
+            "log_tau": jnp.zeros((), d),
+            "log_v": jnp.zeros((), d),
+            "kernel_paras": init_mixture_params(
+                int(self.config["Q"]), float(self.config["freq_scale"]), d),
+            "u": jnp.zeros((self.N_col, 1), d),
+        }
+
+    def param_log(self, params):
+        kp = params["kernel_paras"]
+        return {"w_list": jnp.exp(kp["log-w"]), "freq_list": kp["freq"],
+                "ls_list": jnp.exp(kp["log-ls"])}
+
+    def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
+              on_eval=None) -> TrainResult:
+        del seed  # the algorithm is deterministic (loss ignores its RNG key,
+        #           reference: code/model_GP_solver_1d.py:124-149)
+        state = TrainState(
+            params=self.init_params(),
+            opt_state=None,
+            run_chunk=make_chunk_runner(self._loss, self.optimizer),
+            eval_fn=self.eval_err,
+            criterion_fn=self.criterion,
+            param_log_fn=jax.jit(self.param_log),
+        )
+        state.opt_state = self.optimizer.init(state.params)
+        return chunked_train(
+            state=state, nepoch=nepoch,
+            tol=float(self.config.get("tol", -1.0)),
+            early_stop_mode="off",
+            on_eval=on_eval, verbose=verbose)

@@ -1,0 +1,202 @@
+"""2D GP-HM solver on a grid with Kronecker-product kernel structure.
+
+Covers the reference's three 2D solver families with one implementation:
+  * Poisson      u_xx + u_yy = f          (code/model_GP_solver_2d.py:31-352)
+  * Allen-Cahn   u_xx + u_yy + u(u^2-1) = f
+  * advection    beta u_x + u_y = f       (code/model_GP_solver_advection.py:30-351,
+                 differing only in using first-derivative cross-covariances)
+
+The covariance over the N1 x N2 grid is K1 (x) K2; only per-dimension N x N
+matrices are ever formed. Derivative lifts are Kronecker-structured matmuls:
+
+    U_xx = K1_dxx K1^-1 U,   U_yy = (K2_dyy K2^-1 U')'
+    (reference: code/model_GP_solver_2d.py:104-119)
+
+and the prior uses the Kronecker identities
+    logdet = N2 log|K1| + N1 log|K2|
+    quad   = sum(K1invU * (K2invUt)')
+    (reference: code/model_GP_solver_2d.py:157-162)
+
+TPU redesign: per-dimension Cholesky factors are shared by the solves, the
+quadratic form, and the log-determinants (the reference runs two LU solves
+plus two slogdet LUs per step); all lifts are MXU matmuls on the natural grid
+layout, which is the layout sharded across the device mesh in multi-chip runs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gphm_tpu.models.base import TrainResult, TrainState, chunked_train, \
+    make_chunk_runner
+from gphm_tpu.ops.chol import robust_cholesky
+from gphm_tpu.ops.kernels import StationaryKernel, get_kernel, \
+    init_mixture_params
+from gphm_tpu.precision import Policy, default_policy
+from gphm_tpu.problems.equations import Problem2D
+
+
+class Solver2D:
+    def __init__(self, problem: Problem2D, kernel, config: dict,
+                 policy: Optional[Policy] = None):
+        self.problem = problem
+        self.kernel: StationaryKernel = (
+            get_kernel(kernel) if isinstance(kernel, str) else kernel)
+        self.config = dict(config)
+        self.policy = policy or default_policy()
+        p = self.policy
+
+        self.x_col = jnp.asarray(problem.x_col, p.dtype)
+        self.y_col = jnp.asarray(problem.y_col, p.dtype)
+        self.src = jnp.asarray(problem.src, p.dtype)
+        self.bc_vals = jnp.asarray(problem.bc_vals, p.dtype)
+        self.x_test = jnp.asarray(problem.x_test, p.dtype)
+        self.y_test = jnp.asarray(problem.y_test, p.dtype)
+        self.u_test = jnp.asarray(problem.u_test, p.dtype)
+        self.N1 = int(self.x_col.shape[0])
+        self.N2 = int(self.y_col.shape[0])
+        self.Nc = self.N1 * self.N2
+        self.Nb = int(self.bc_vals.shape[0])
+        self.beta = float(problem.beta)
+
+        self.tau1 = self.x_col[:, None] - self.x_col[None, :]
+        self.tau2 = self.y_col[:, None] - self.y_col[None, :]
+        self.tau1_test = self.x_test[:, None] - self.x_col[None, :]
+        self.tau2_test = self.y_test[:, None] - self.y_col[None, :]
+
+        self.optimizer = optax.adam(learning_rate=config["lr"])
+        self.jitter = float(config.get("jitter", 1e-6))
+        self.llk_weight = float(config["llk_weight"])
+        self.logdet_flag = float(bool(config.get("logdet", True)))
+        self.eq_type = problem.eq_type
+        # advection uses first-derivative cross-covariances, Poisson/AC second
+        self.deriv_order = 1 if self.eq_type == "advection" else 2
+
+        self.loss = jax.jit(self._loss)
+        self.predict = jax.jit(self._predict)
+        self.criterion = jax.jit(self._criterion)
+        self.eval_err = jax.jit(self._eval_err)
+
+    # ------------------------------------------------------------------
+    def _factor(self, tau, kernel_paras):
+        K = self.kernel.kappa(tau, kernel_paras)
+        K = K + self.jitter * jnp.eye(K.shape[0], dtype=K.dtype)
+        return robust_cholesky(K, self.jitter, self.policy.jitter_growth,
+                               self.policy.max_jitter_tries)
+
+    def lifts(self, params):
+        """Per-dimension factors and derivative lifts of U."""
+        U = params["U"]
+        kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
+        F1 = self._factor(self.tau1, kp1)
+        F2 = self._factor(self.tau2, kp2)
+        K1inv_U = F1.solve(U)
+        K2inv_Ut = F2.solve(U.T)
+        dfun = self.kernel.deriv(self.deriv_order)
+        Kd1 = dfun(self.tau1, kp1)
+        Kd2 = dfun(self.tau2, kp2)
+        U_dx = Kd1 @ K1inv_U            # U_xx (or U_x for advection)
+        U_dy = (Kd2 @ K2inv_Ut).T       # U_yy (or U_y)
+        return F1, F2, K1inv_U, K2inv_Ut, U_dx, U_dy
+
+    def residual(self, U, U_dx, U_dy):
+        if self.eq_type == "poisson_2d":
+            return U_dx + U_dy - self.src
+        if self.eq_type == "allencahn_2d":
+            return U_dx + U_dy + U * (U ** 2 - 1) - self.src
+        if self.eq_type == "advection":
+            return self.beta * U_dx + U_dy - self.src
+        raise NotImplementedError(self.eq_type)
+
+    def boundary_slice(self, U):
+        """Four grid edges in the reference order
+        (code/model_GP_solver_2d.py:127)."""
+        return jnp.hstack((U[0, :], U[-1, :], U[:, 0], U[:, -1]))
+
+    def gaps(self, params):
+        U = params["U"]
+        F1, F2, K1inv_U, K2inv_Ut, U_dx, U_dy = self.lifts(params)
+        boundary_gap = jnp.sum(
+            (self.boundary_slice(U) - self.bc_vals) ** 2)
+        eq_gap = jnp.sum(self.residual(U, U_dx, U_dy) ** 2)
+        return F1, F2, K1inv_U, K2inv_Ut, boundary_gap, eq_gap
+
+    def _loss(self, params):
+        U = params["U"]
+        F1, F2, K1inv_U, K2inv_Ut, boundary_gap, eq_gap = self.gaps(params)
+        # Kronecker prior (reference: code/model_GP_solver_2d.py:157-162)
+        log_prior = -0.5 * self.N2 * F1.logdet() * self.logdet_flag \
+            - 0.5 * self.N1 * F2.logdet() * self.logdet_flag \
+            - 0.5 * jnp.sum(K1inv_U * K2inv_Ut.T)
+        log_boundary_ll = 0.5 * self.Nb * params["log_tau"] \
+            - 0.5 * jnp.exp(params["log_tau"]) * boundary_gap
+        eq_ll = 0.5 * self.Nc * params["log_v"] \
+            - 0.5 * jnp.exp(params["log_v"]) * eq_gap
+        return -(log_prior + log_boundary_ll * self.llk_weight + eq_ll)
+
+    def _predict(self, params):
+        """Per-dimension cross-kernel posterior mean
+        (reference: code/model_GP_solver_2d.py:185-220)."""
+        kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
+        F1 = self._factor(self.tau1, kp1)
+        M1 = self.kernel.kappa(self.tau1_test, kp1) @ F1.solve(params["U"])
+        F2 = self._factor(self.tau2, kp2)
+        M2 = F2.solve(M1.T)
+        return (self.kernel.kappa(self.tau2_test, kp2) @ M2).T
+
+    def _eval_err(self, params):
+        diff = self._predict(params).reshape(-1) - self.u_test.reshape(-1)
+        return jnp.linalg.norm(diff) / jnp.linalg.norm(self.u_test)
+
+    def _criterion(self, params):
+        _, _, _, _, boundary_gap, eq_gap = self.gaps(params)
+        return boundary_gap / self.Nb + eq_gap / self.Nc
+
+    # ------------------------------------------------------------------
+    def init_params(self):
+        """Reference init (code/model_GP_solver_2d.py:245-261)."""
+        d = self.policy.dtype
+        Q = int(self.config["Q"])
+        fs = float(self.config["freq_scale"])
+        return {
+            "log_tau": jnp.zeros((), d),
+            "log_v": jnp.zeros((), d),
+            "kernel_paras_1": init_mixture_params(Q, fs, d),
+            "kernel_paras_2": init_mixture_params(Q, fs, d),
+            "U": jnp.zeros((self.N1, self.N2), d),
+        }
+
+    def param_log(self, params):
+        out = {}
+        for tag in ("1", "2"):
+            kp = params[f"kernel_paras_{tag}"]
+            out[f"w_list_k{tag}"] = jnp.exp(kp["log-w"])
+            out[f"freq_list_k{tag}"] = kp["freq"]
+            out[f"ls_list_k{tag}"] = jnp.exp(kp["log-ls"])
+        return out
+
+    def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
+              on_eval=None) -> TrainResult:
+        del seed  # deterministic; see Solver1D.train
+        state = TrainState(
+            params=self.init_params(),
+            opt_state=None,
+            run_chunk=make_chunk_runner(self._loss, self.optimizer),
+            eval_fn=self.eval_err,
+            criterion_fn=self.criterion,
+            param_log_fn=jax.jit(self.param_log),
+        )
+        state.opt_state = self.optimizer.init(state.params)
+        # early stopping: active for Poisson/AC when tol > 0
+        # (code/model_GP_solver_2d.py:327-332); the advection reference has it
+        # commented out (code/model_GP_solver_advection.py:322-328)
+        mode = "off" if self.eq_type == "advection" else "tol"
+        return chunked_train(
+            state=state, nepoch=nepoch,
+            tol=float(self.config.get("tol", -1.0)),
+            early_stop_mode=mode,
+            on_eval=on_eval, verbose=verbose)

@@ -1,0 +1,49 @@
+"""Precision policy for TPU-first execution.
+
+The reference globally enables float64 (reference: code/kernel_matrix.py:6-7)
+and runs on CPU. TPU f64 is emulated and extremely slow, so the framework is
+parameterized by a precision policy instead:
+
+  * ``float64`` — bit-compatible validation mode (CPU, and tests).
+  * ``float32`` — TPU production mode. Matmuls are forced to `highest`
+    precision so the MXU does not silently truncate to bf16; SPD solves use
+    Cholesky (better conditioned than the reference's LU + slogdet pair) and
+    adaptive jitter escalation compensates for the narrower mantissa.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Policy:
+    """Compute/solve dtype policy threaded through kernels, solvers, linalg."""
+
+    dtype: Any = jnp.float32
+    # jax.lax matmul precision for f32 on the MXU ('highest' = full f32 via
+    # multi-pass bf16; essential for Gram/solve accuracy at N in the hundreds).
+    matmul_precision: str = "highest"
+    # Base diagonal jitter (reference uses 1e-6 everywhere,
+    # reference: code/model_GP_solver_1d.py:365).
+    jitter: float = 1e-6
+    # Multiplicative escalation factor when a Cholesky factorization produces
+    # non-finite values (aux robustness absent from the reference; SURVEY §5).
+    jitter_growth: float = 100.0
+    max_jitter_tries: int = 3
+
+    def cast(self, x):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, self.dtype) if jnp.issubdtype(
+                jnp.asarray(a).dtype, jnp.floating) else jnp.asarray(a), x)
+
+
+def default_policy() -> Policy:
+    """float64 when x64 is enabled (CPU validation), float32 otherwise (TPU)."""
+    if jax.config.jax_enable_x64:
+        return Policy(dtype=jnp.float64)
+    return Policy(dtype=jnp.float32)
