@@ -1,0 +1,74 @@
+"""Command-line interface.
+
+Mirrors the reference launch surface (reference: code/run_1d.sh, run_2d.sh,
+and the per-file fire CLIs, e.g. code/model_GP_solver_1d.py:396-451) with a
+single entry point:
+
+    python -m gphm_tpu.cli --equation poisson_1d-single_sin \
+        --kernel Matern52_Cos_1d --nepoch 100000
+
+Extra-GP runs (the reference's model_GP_solver_1d_extra.py) are selected with
+``--extra`` (kernel_extra defaults to Matern52_1d as in the reference,
+code/model_GP_solver_1d_extra.py:467).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from gphm_tpu.utils.config import (EQUATIONS_1D, EQUATIONS_2D,
+                                   EQUATIONS_ADVECTION, load_config)
+
+ALL_EQUATIONS = EQUATIONS_1D + EQUATIONS_2D + EQUATIONS_ADVECTION
+KERNELS = ["Matern52_Cos_1d", "SE_Cos_1d", "Matern52_1d", "SE_1d"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gphm_tpu",
+        description="TPU-native GP solver for high-frequency PDEs (GP-HM)")
+    p.add_argument("--equation", required=True, choices=ALL_EQUATIONS)
+    p.add_argument("--kernel", default="Matern52_Cos_1d", choices=KERNELS)
+    p.add_argument("--nepoch", type=int, default=None)
+    p.add_argument("--extra", action="store_true",
+                   help="two-GP residual trick (1D only)")
+    p.add_argument("--kernel-extra", default="Matern52_1d", choices=KERNELS)
+    p.add_argument("--N-col", type=int, default=None, dest="N_col")
+    p.add_argument("--Q", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "float64"],
+                   help="float32 = TPU production, float64 = validation")
+    p.add_argument("--num-fold", type=int, default=None, dest="num_fold")
+    p.add_argument("--out", default="result_log",
+                   help="artifact directory (use '' to disable)")
+    p.add_argument("--no-figures", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    overrides = dict(nepoch=args.nepoch, N_col=args.N_col, Q=args.Q,
+                     lr=args.lr, dtype=args.dtype, num_fold=args.num_fold,
+                     kernel=args.kernel)
+    if args.extra:
+        if args.equation not in EQUATIONS_1D:
+            print("--extra is only supported for 1D equations",
+                  file=sys.stderr)
+            return 2
+        overrides["kernel_extra"] = args.kernel_extra
+    config = load_config(args.equation, **overrides)
+
+    from gphm_tpu.experiment import run_experiment
+    res = run_experiment(config, out_base=args.out or None,
+                         verbose=not args.quiet,
+                         figures=not args.no_figures)
+    print(f"err mean {res.err_mean:.6g} +- {res.err_std:.3g}  "
+          f"time {res.used_time:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,125 @@
+"""Experiment driver: fold loop, timing, persistence, figures.
+
+Single implementation of what the reference duplicates four times as
+``test(trick_paras)`` (reference: code/model_GP_solver_1d.py:310-391,
+_2d.py:382-464, _advection.py:381-460, _1d_extra.py:354-441): build the
+problem, run ``num_fold`` training folds, aggregate error mean/std and
+wall-time, checkpoint fold 0, and append the text log.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gphm_tpu.models.extra import Solver1DExtra
+from gphm_tpu.models.solver_1d import Solver1D
+from gphm_tpu.models.solver_2d import Solver2D
+from gphm_tpu.precision import Policy
+from gphm_tpu.problems.equations import make_problem
+from gphm_tpu.utils.checkpoint import run_dir, save_checkpoint
+from gphm_tpu.utils.config import RunConfig
+from gphm_tpu.utils.logging import MetricsLogger, append_text_log
+
+
+def _policy_for(config: RunConfig) -> Policy:
+    return Policy(dtype=jnp.dtype(config.dtype), jitter=config.jitter)
+
+
+def make_solver(config: RunConfig, policy: Optional[Policy] = None):
+    """Problem + solver for any of the 12 equations."""
+    policy = policy or _policy_for(config)
+    prob = make_problem(config.equation, N_col=config.N_col,
+                        scale=config.scale, beta=config.beta,
+                        dtype=policy.dtype)
+    sd = config.solver_dict()
+    fam = config.family
+    if fam == "1d":
+        return Solver1D(prob, config.kernel, sd, policy)
+    if fam == "1d_extra":
+        return Solver1DExtra(prob, config.kernel, sd, policy,
+                             kernel_extra=config.kernel_extra)
+    if fam in ("2d", "advection"):
+        return Solver2D(prob, config.kernel, sd, policy)
+    raise KeyError(fam)
+
+
+@dataclasses.dataclass
+class ExperimentResult:
+    config: RunConfig
+    err_mean: float
+    err_std: float
+    err_list: list
+    stop_epoch_mean: float
+    used_time: float
+    fold_results: list
+
+
+def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
+                   verbose: bool = True, figures: bool = True,
+                   nepoch: Optional[int] = None) -> ExperimentResult:
+    nepoch = nepoch or config.nepoch
+    solver = make_solver(config)
+
+    directory = run_dir(out_base, config.equation, config.kernel,
+                        config.kernel_extra, nepoch, config.Q) \
+        if out_base else None
+    run_name = f"{config.equation}-{config.kernel}{config.other_paras}" \
+               f"-Ncol-{config.N_col}"
+
+    err_list, stop_epochs, fold_results = [], [], []
+    start = time.time()
+    for fold in range(config.num_fold):
+        metrics = MetricsLogger(
+            os.path.join(directory, f"metrics_fold{fold}.jsonl")
+            if directory else None)
+
+        def on_eval(epoch, err, loss):
+            metrics.log(fold=fold, epoch=epoch, rel_l2=err, loss=loss)
+
+        if verbose:
+            print(f"fold {fold}: {config.equation} / {config.kernel} "
+                  f"({nepoch} epochs)")
+        res = solver.train(nepoch, seed=fold, verbose=verbose,
+                           on_eval=on_eval)
+        err_list.append(res.min_err)
+        stop_epochs.append(res.early_stopping["epoch"])
+        fold_results.append(res)
+
+        if fold == 0 and directory:
+            save_checkpoint(
+                os.path.join(directory, "params_fold0.npz"), res.params,
+                meta=dataclasses.asdict(config))
+            save_checkpoint(
+                os.path.join(directory, "opt_state_fold0.npz"),
+                res.opt_state)
+            if figures:
+                try:
+                    from gphm_tpu.utils.plotting import training_figure
+                    training_figure(
+                        solver, res,
+                        os.path.join(directory, f"{run_name}.png"))
+                except Exception as e:  # plotting must never kill a run
+                    print(f"figure generation failed: {e}")
+
+    used = time.time() - start
+    err_dict = {
+        "mean": float(np.mean(err_list)), "std": float(np.std(err_list)),
+        "err_list": [float(e) for e in err_list],
+        "stop_epoch_mean": float(np.mean(stop_epochs)),
+        "used_time": used,
+        "avg_time": used / max(config.num_fold, 1),
+    }
+    if directory:
+        append_text_log(directory, run_name, err_dict)
+
+    return ExperimentResult(
+        config=config, err_mean=err_dict["mean"], err_std=err_dict["std"],
+        err_list=err_dict["err_list"],
+        stop_epoch_mean=err_dict["stop_epoch_mean"], used_time=used,
+        fold_results=fold_results)

@@ -1,0 +1,102 @@
+"""Typed run configuration.
+
+Replaces the reference's mutable ``trick_paras`` dict + fire CLI + attr-bag
+``ExpConfig`` (reference: code/infras/exp_config.py:1-55, and the per-file
+``evals`` functions, e.g. code/model_GP_solver_1d.py:396-447) with a frozen
+dataclass resolved from the same per-equation YAML schema
+(reference: code/config/*.yaml). Kernel and equation are plain registry
+strings — no Python-object injection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Optional
+
+import yaml
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+#: equations each solver family accepts (reference whitelists:
+#: code/model_GP_solver_1d.py:403-411, _2d.py:474, _advection.py assert)
+EQUATIONS_1D = [
+    "poisson_1d-mix_sin", "poisson_1d-single_sin", "poisson_1d-sin_cos",
+    "poisson_1d-x_time_sinx", "poisson_1d-x2_add_sinx",
+    "allencahn_1d-sin_cos", "allencahn_1d-single_sin",
+]
+EQUATIONS_2D = [
+    "poisson_2d-sin_cos", "poisson_2d-sin_sin", "poisson_2d-sin_add_cos",
+    "allencahn_2d-mix-sincos",
+]
+EQUATIONS_ADVECTION = ["advection-sin"]
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    equation: str
+    kernel: str = "Matern52_Cos_1d"
+    kernel_extra: Optional[str] = None   # set -> two-GP solver (1D only)
+    Q: int = 30
+    lr: float = 0.01
+    llk_weight: float = 200.0
+    freq_scale: float = 20.0
+    logdet: bool = True
+    num_fold: int = 1
+    tol: float = -1.0
+    N_col: int = 400
+    scale: float = 1.0
+    nepoch: int = 100000
+    change_point: float = 0.5
+    beta: float = 0.0
+    jitter: float = 1e-6
+    other_paras: str = ""
+    # TPU-native extensions (not in the reference schema)
+    dtype: str = "float64"        # "float32" on TPU production runs
+    solve: str = "cholesky"       # or "cg" for the large-grid path
+
+    @property
+    def family(self) -> str:
+        if self.equation in EQUATIONS_ADVECTION:
+            return "advection"
+        if self.equation in EQUATIONS_2D:
+            return "2d"
+        if self.equation in EQUATIONS_1D:
+            return "1d_extra" if self.kernel_extra else "1d"
+        raise KeyError(f"unknown equation {self.equation!r}")
+
+    def solver_dict(self) -> dict:
+        """The subset the solver classes consume."""
+        return {
+            "Q": self.Q, "lr": self.lr, "llk_weight": self.llk_weight,
+            "freq_scale": self.freq_scale, "logdet": self.logdet,
+            "tol": self.tol, "jitter": self.jitter,
+            "change_point": self.change_point,
+        }
+
+
+def _resolve_scale(raw) -> float:
+    """YAML scale '2pi' -> 2*pi, else numeric
+    (reference: code/model_GP_solver_1d.py:422-425)."""
+    if isinstance(raw, str):
+        return 2.0 * math.pi if raw == "2pi" else float(raw)
+    return float(raw)
+
+
+def load_config(equation: str, **overrides) -> RunConfig:
+    """Load configs/<equation>.yaml and apply CLI-style overrides."""
+    path = overrides.pop("config_path", None) \
+        or os.path.join(CONFIG_DIR, f"{equation}.yaml")
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    raw.pop("num_u_trick", None)       # always 1 in the reference; dead
+    raw["scale"] = _resolve_scale(raw.get("scale", 1.0))
+    raw["equation"] = equation
+    raw.update({k: v for k, v in overrides.items() if v is not None})
+    fields = {f.name for f in dataclasses.fields(RunConfig)}
+    unknown = set(raw) - fields
+    if unknown:
+        raise KeyError(f"unknown config keys: {sorted(unknown)}")
+    return RunConfig(**raw)

@@ -1,0 +1,125 @@
+"""Config / experiment driver / persistence / CLI tests."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gphm_tpu.experiment import make_solver, run_experiment
+from gphm_tpu.models.extra import Solver1DExtra
+from gphm_tpu.models.solver_1d import Solver1D
+from gphm_tpu.models.solver_2d import Solver2D
+from gphm_tpu.utils.checkpoint import (load_checkpoint, run_dir,
+                                       save_checkpoint)
+from gphm_tpu.utils.config import load_config
+
+
+def test_load_all_reference_configs():
+    """Every shipped YAML parses with the reference hyperparameter values."""
+    expect = {
+        "poisson_1d-single_sin": dict(N_col=400, freq_scale=20,
+                                      llk_weight=200, nepoch=100000),
+        "poisson_1d-mix_sin": dict(N_col=900, freq_scale=30,
+                                   change_point=0.5),
+        "poisson_1d-x2_add_sinx": dict(N_col=400, freq_scale=100,
+                                       nepoch=1000000, change_point=0.01),
+        "poisson_1d-x_time_sinx": dict(N_col=900, freq_scale=50),
+        "poisson_1d-sin_cos": dict(N_col=400),
+        "allencahn_1d-single_sin": dict(N_col=400),
+        "allencahn_1d-sin_cos": dict(N_col=400),
+        "poisson_2d-sin_sin": dict(N_col=400),
+        "poisson_2d-sin_add_cos": dict(N_col=200, nepoch=1000000),
+        "allencahn_2d-mix-sincos": dict(N_col=400, nepoch=1000000,
+                                        freq_scale=30),
+        "advection-sin": dict(N_col=200, llk_weight=500, freq_scale=40,
+                              beta=200, nepoch=200000),
+    }
+    for eq, fields in expect.items():
+        cfg = load_config(eq)
+        assert cfg.Q == 30 and cfg.lr == 0.01 and cfg.num_fold == 1
+        assert cfg.tol == -1
+        for k, v in fields.items():
+            assert getattr(cfg, k) == v, (eq, k)
+    # scale resolution: '2pi' -> 2*pi, '1' -> 1.0
+    assert load_config("poisson_1d-single_sin").scale == pytest.approx(
+        2 * np.pi)
+    assert load_config("poisson_1d-mix_sin").scale == 1.0
+
+
+def test_config_overrides_and_unknown_keys():
+    cfg = load_config("poisson_1d-single_sin", nepoch=50, N_col=32)
+    assert cfg.nepoch == 50 and cfg.N_col == 32
+    with pytest.raises(KeyError):
+        load_config("poisson_1d-single_sin", nonsense=1)
+
+
+def test_make_solver_families():
+    assert isinstance(make_solver(load_config(
+        "poisson_1d-single_sin", dtype="float64")), Solver1D)
+    assert isinstance(make_solver(load_config(
+        "poisson_2d-sin_sin", dtype="float64", N_col=16)), Solver2D)
+    assert isinstance(make_solver(load_config(
+        "advection-sin", dtype="float64", N_col=16)), Solver2D)
+    extra = make_solver(load_config(
+        "poisson_1d-mix_sin", dtype="float64", N_col=32,
+        kernel_extra="Matern52_1d"))
+    assert isinstance(extra, Solver1DExtra)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = load_config("poisson_1d-single_sin", dtype="float64", N_col=24)
+    solver = make_solver(cfg)
+    params = solver.init_params()
+    opt_state = solver.optimizer.init(params)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, (params, opt_state), meta={"equation": cfg.equation})
+
+    template = (solver.init_params(), solver.optimizer.init(
+        solver.init_params()))
+    params2, opt2 = load_checkpoint(path, template)
+    np.testing.assert_array_equal(np.asarray(params["kernel_paras"]["freq"]),
+                                  params2["kernel_paras"]["freq"])
+    # resume: one more step from restored state == one more step from original
+    from gphm_tpu.models.base import make_step_fn
+    step = make_step_fn(solver._loss, solver.optimizer)
+    a = step(params, opt_state)[2]
+    b = step(params2, opt2)[2]
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-12)
+
+
+def test_run_experiment_end_to_end(tmp_path):
+    cfg = load_config("poisson_1d-single_sin", dtype="float64", N_col=48,
+                      nepoch=40, Q=6)
+    res = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                         figures=True)
+    assert np.isfinite(res.err_mean)
+    d = run_dir(str(tmp_path), cfg.equation, cfg.kernel, None, 40, 6)
+    assert os.path.exists(os.path.join(d, "log.txt"))
+    assert os.path.exists(os.path.join(d, "params_fold0.npz"))
+    assert os.path.exists(os.path.join(d, "opt_state_fold0.npz"))
+    jl = os.path.join(d, "metrics_fold0.jsonl")
+    with open(jl) as f:
+        records = [json.loads(line) for line in f]
+    assert len(records) == 20
+    assert {"epoch", "rel_l2", "loss", "wall_s"} <= set(records[0])
+    # figure produced
+    assert any(p.endswith(".png") for p in os.listdir(d))
+
+
+def test_cli_smoke(tmp_path, capsys):
+    from gphm_tpu.cli import main
+    rc = main(["--equation", "poisson_1d-single_sin", "--nepoch", "20",
+               "--N-col", "32", "--Q", "4", "--dtype", "float64",
+               "--out", str(tmp_path), "--quiet", "--no-figures"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "err mean" in out
+
+
+def test_cli_rejects_extra_on_2d():
+    from gphm_tpu.cli import main
+    rc = main(["--equation", "poisson_2d-sin_sin", "--extra",
+               "--nepoch", "10"])
+    assert rc == 2
