@@ -1,0 +1,100 @@
+"""Benchmark: steady-state training throughput on the reference's headline
+smoke configuration (1D Poisson u = sin(100x), Matern52_Cos, Q = 30,
+N_col = 400 — reference log: 4.9965 s / 100 epochs ~= 50 ms/epoch on CPU,
+code/result_log/poisson_1d-single_sin/.../log.txt:2).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ...}
+where vs_baseline is the speedup over the reference's per-epoch wall time.
+Diagnostics (accuracy parity, 2D throughput) go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_MS_PER_EPOCH_1D = 4.9965 / 100 * 1000   # 49.965 ms
+REF_MS_PER_EPOCH_2D = 9.0589 / 100 * 1000   # 90.589 ms
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:
+        log("compilation cache unavailable:", e)
+
+    import jax.numpy as jnp
+
+    from gphm_tpu.experiment import make_solver
+    from gphm_tpu.models.base import make_chunk_runner
+    from gphm_tpu.utils.config import load_config
+
+    log("backend:", jax.default_backend(), jax.devices()[0])
+
+    cfg = load_config("poisson_1d-single_sin", dtype="float32")
+    solver = make_solver(cfg)
+    log("pallas fused gram:", solver.use_pallas)
+
+    params = solver.init_params()
+    opt_state = solver.optimizer.init(params)
+    run_chunk = make_chunk_runner(solver._loss, solver.optimizer)
+
+    t0 = time.time()
+    params, opt_state, loss = run_chunk(params, opt_state, 100)
+    jax.block_until_ready(loss)
+    log(f"compile+first 100 epochs: {time.time() - t0:.1f} s, "
+        f"loss {float(loss):.6g}")
+    err100 = float(solver.eval_err(params))
+    log(f"rel-L2 @ 100 epochs: {err100:.4f} (reference smoke: 0.2756)")
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        params, opt_state, loss = run_chunk(params, opt_state, 100)
+        jax.block_until_ready(loss)
+        best = min(best, (time.time() - t0) / 100 * 1000)
+    ms_per_epoch = best
+    log(f"steady-state: {ms_per_epoch:.3f} ms/epoch "
+        f"({1000 / ms_per_epoch:.0f} epochs/s)")
+
+    # 2D diagnostic (smaller epoch count; reference smoke 90.6 ms/epoch)
+    try:
+        cfg2 = load_config("poisson_2d-sin_sin", dtype="float32")
+        solver2 = make_solver(cfg2)
+        p2 = solver2.init_params()
+        o2 = solver2.optimizer.init(p2)
+        rc2 = make_chunk_runner(solver2._loss, solver2.optimizer)
+        p2, o2, l2 = rc2(p2, o2, 20)
+        jax.block_until_ready(l2)
+        t0 = time.time()
+        p2, o2, l2 = rc2(p2, o2, 100)
+        jax.block_until_ready(l2)
+        ms2 = (time.time() - t0) / 100 * 1000
+        log(f"2D N=400: {ms2:.3f} ms/epoch "
+            f"(ref {REF_MS_PER_EPOCH_2D:.1f}; speedup "
+            f"{REF_MS_PER_EPOCH_2D / ms2:.1f}x)")
+    except Exception as e:
+        log("2D diagnostic failed:", e)
+
+    print(json.dumps({
+        "metric": "1d_poisson_single_sin_N400_Q30_ms_per_epoch",
+        "value": round(ms_per_epoch, 4),
+        "unit": "ms",
+        "vs_baseline": round(REF_MS_PER_EPOCH_1D / ms_per_epoch, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,7 @@ class Solver1D:
         self.llk_weight = float(config["llk_weight"])
         self.logdet_flag = float(bool(config.get("logdet", True)))
         self.eq_type = problem.eq_type
+        self.use_pallas = self._resolve_pallas(config)
 
         self.loss = jax.jit(self._loss)
         self.predict = jax.jit(self._predict)
@@ -74,6 +75,29 @@ class Solver1D:
     # ------------------------------------------------------------------
     # model internals
     # ------------------------------------------------------------------
+    def _resolve_pallas(self, config) -> bool:
+        """Fused Pallas Gram-pair path: on by default on TPU for supported
+        kernels, overridable via config['use_pallas']."""
+        from gphm_tpu.ops import pallas_gram
+        mode = config.get("use_pallas", "auto")
+        ok = pallas_gram.supports(self.kernel.name)
+        if mode == "auto":
+            return ok and jax.default_backend() == "tpu"
+        return bool(mode) and ok
+
+    def _K_and_Kd(self, kernel_paras, deriv: int = 2):
+        """Covariance matrix (with jitter) and derivative cross-covariance —
+        the training-step hot pair, fused in Pallas on TPU."""
+        if self.use_pallas:
+            from gphm_tpu.ops.pallas_gram import gram_pair_from_params
+            return gram_pair_from_params(
+                self.kernel.name, self.X_col, kernel_paras, deriv=deriv,
+                jitter=self.jitter)
+        K = self.kernel.kappa(self.tau, kernel_paras)
+        K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
+        Kd = self.kernel.deriv(deriv)(self.tau, kernel_paras)
+        return K, Kd
+
     def _factor(self, kernel_paras):
         K = self.kernel.kappa(self.tau, kernel_paras)
         K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
@@ -95,9 +119,11 @@ class Solver1D:
 
     def gaps(self, params):
         u = params["u"]
-        F = self._factor(params["kernel_paras"])
+        K, Kd = self._K_and_Kd(params["kernel_paras"])
+        F = robust_cholesky(K, self.jitter, self.policy.jitter_growth,
+                            self.policy.max_jitter_tries)
         alpha = F.solve(u)
-        u_xx = self._u_xx(params["kernel_paras"], alpha)
+        u_xx = Kd @ alpha
         boundary_gap = jnp.sum(
             (u[self.bc_idx].reshape(-1) - self.bc_vals) ** 2)
         eq_gap = jnp.sum(self.residual(u, u_xx) ** 2)

@@ -76,6 +76,12 @@ class Solver2D:
         # advection uses first-derivative cross-covariances, Poisson/AC second
         self.deriv_order = 1 if self.eq_type == "advection" else 2
 
+        from gphm_tpu.ops import pallas_gram
+        mode = config.get("use_pallas", "auto")
+        ok = pallas_gram.supports(self.kernel.name)
+        self.use_pallas = (ok and jax.default_backend() == "tpu"
+                           if mode == "auto" else bool(mode) and ok)
+
         self.loss = jax.jit(self._loss)
         self.predict = jax.jit(self._predict)
         self.criterion = jax.jit(self._criterion)
@@ -88,17 +94,31 @@ class Solver2D:
         return robust_cholesky(K, self.jitter, self.policy.jitter_growth,
                                self.policy.max_jitter_tries)
 
+    def _K_and_Kd(self, x, tau, kernel_paras):
+        """Per-dimension covariance + derivative cross-covariance (fused in
+        Pallas on TPU)."""
+        if self.use_pallas:
+            from gphm_tpu.ops.pallas_gram import gram_pair_from_params
+            return gram_pair_from_params(
+                self.kernel.name, x, kernel_paras, deriv=self.deriv_order,
+                jitter=self.jitter)
+        K = self.kernel.kappa(tau, kernel_paras)
+        K = K + self.jitter * jnp.eye(K.shape[0], dtype=K.dtype)
+        Kd = self.kernel.deriv(self.deriv_order)(tau, kernel_paras)
+        return K, Kd
+
     def lifts(self, params):
         """Per-dimension factors and derivative lifts of U."""
         U = params["U"]
         kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
-        F1 = self._factor(self.tau1, kp1)
-        F2 = self._factor(self.tau2, kp2)
+        K1, Kd1 = self._K_and_Kd(self.x_col, self.tau1, kp1)
+        K2, Kd2 = self._K_and_Kd(self.y_col, self.tau2, kp2)
+        F1 = robust_cholesky(K1, self.jitter, self.policy.jitter_growth,
+                             self.policy.max_jitter_tries)
+        F2 = robust_cholesky(K2, self.jitter, self.policy.jitter_growth,
+                             self.policy.max_jitter_tries)
         K1inv_U = F1.solve(U)
         K2inv_Ut = F2.solve(U.T)
-        dfun = self.kernel.deriv(self.deriv_order)
-        Kd1 = dfun(self.tau1, kp1)
-        Kd2 = dfun(self.tau2, kp2)
         U_dx = Kd1 @ K1inv_U            # U_xx (or U_x for advection)
         U_dy = (Kd2 @ K2inv_Ut).T       # U_yy (or U_y)
         return F1, F2, K1inv_U, K2inv_Ut, U_dx, U_dy
