@@ -76,7 +76,7 @@ def main():
         p2 = solver2.init_params()
         o2 = solver2.optimizer.init(p2)
         rc2 = make_chunk_runner(solver2._loss, solver2.optimizer)
-        p2, o2, l2 = rc2(p2, o2, 20)
+        p2, o2, l2 = rc2(p2, o2, 100)   # compile the same program as timed
         jax.block_until_ready(l2)
         t0 = time.time()
         p2, o2, l2 = rc2(p2, o2, 100)

@@ -180,9 +180,18 @@ class Solver1D:
                 "ls_list": jnp.exp(kp["log-ls"])}
 
     def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
-              on_eval=None) -> TrainResult:
+              on_eval=None, mode: str = "auto") -> TrainResult:
         del seed  # the algorithm is deterministic (loss ignores its RNG key,
         #           reference: code/model_GP_solver_1d.py:124-149)
+        # 1D early stopping is disabled in the reference
+        # (code/model_GP_solver_1d.py:272-276) so the whole run can execute
+        # as one fused on-device program
+        if mode == "auto":
+            mode = "fused" if nepoch % 20 == 0 and nepoch >= 20 else "chunked"
+        if mode == "fused":
+            from gphm_tpu.models.base import fused_train
+            return fused_train(solver=self, nepoch=nepoch, verbose=verbose,
+                               on_eval=on_eval)
         state = TrainState(
             params=self.init_params(),
             opt_state=None,

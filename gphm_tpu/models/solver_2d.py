@@ -200,8 +200,19 @@ class Solver2D:
         return out
 
     def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
-              on_eval=None) -> TrainResult:
+              on_eval=None, mode: str = "auto") -> TrainResult:
         del seed  # deterministic; see Solver1D.train
+        # early stopping is active only for Poisson/AC 2D with tol > 0
+        # (code/model_GP_solver_2d.py:327-332); otherwise fuse the whole run
+        stop_active = self.eq_type != "advection" \
+            and float(self.config.get("tol", -1.0)) > 0
+        if mode == "auto":
+            mode = ("fused" if not stop_active and nepoch % 20 == 0
+                    and nepoch >= 20 else "chunked")
+        if mode == "fused":
+            from gphm_tpu.models.base import fused_train
+            return fused_train(solver=self, nepoch=nepoch, verbose=verbose,
+                               on_eval=on_eval)
         state = TrainState(
             params=self.init_params(),
             opt_state=None,
