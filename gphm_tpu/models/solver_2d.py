@@ -76,11 +76,26 @@ class Solver2D:
         # advection uses first-derivative cross-covariances, Poisson/AC second
         self.deriv_order = 1 if self.eq_type == "advection" else 2
 
+        # Pallas fused Gram pair is opt-in: measured runtime-identical to the
+        # XLA-fused path on TPU v5e but far slower to compile (see
+        # Solver1D._resolve_pallas)
         from gphm_tpu.ops import pallas_gram
         mode = config.get("use_pallas", "auto")
         ok = pallas_gram.supports(self.kernel.name)
-        self.use_pallas = (ok and jax.default_backend() == "tpu"
-                           if mode == "auto" else bool(mode) and ok)
+        self.use_pallas = False if mode == "auto" else bool(mode) and ok
+
+        # solve mode: "cholesky" (dense factors, exact logdet — reference
+        # parity) or "cg" (factorization-free Kronecker-matvec path for
+        # beyond-reference grids; requires logdet=False since no factor
+        # exists to read the determinant from)
+        self.solve_mode = str(config.get("solve", "cholesky"))
+        self.cg_tol = float(config.get("cg_tol", 1e-6))
+        self.cg_maxiter = int(config.get("cg_maxiter", 1000))
+        if self.solve_mode == "cg" and self.logdet_flag:
+            raise ValueError(
+                "solve='cg' requires logdet=False: the factorization-free "
+                "path has no Cholesky factor to take the log-determinant "
+                "from (set logdet: false in the config)")
 
         self.loss = jax.jit(self._loss)
         self.predict = jax.jit(self._predict)
@@ -88,12 +103,6 @@ class Solver2D:
         self.eval_err = jax.jit(self._eval_err)
 
     # ------------------------------------------------------------------
-    def _factor(self, tau, kernel_paras):
-        K = self.kernel.kappa(tau, kernel_paras)
-        K = K + self.jitter * jnp.eye(K.shape[0], dtype=K.dtype)
-        return robust_cholesky(K, self.jitter, self.policy.jitter_growth,
-                               self.policy.max_jitter_tries)
-
     def _K_and_Kd(self, x, tau, kernel_paras):
         """Per-dimension covariance + derivative cross-covariance (fused in
         Pallas on TPU)."""
@@ -107,21 +116,27 @@ class Solver2D:
         Kd = self.kernel.deriv(self.deriv_order)(tau, kernel_paras)
         return K, Kd
 
+    def _psd_solve(self, K, B):
+        """K^-1 B under the configured solve mode. Returns (X, logdet) where
+        logdet is None in CG mode (factorization-free)."""
+        if self.solve_mode == "cg":
+            from gphm_tpu.ops.cg import psd_solve_cg
+            return psd_solve_cg(K, B, self.cg_tol, self.cg_maxiter), None
+        F = robust_cholesky(K, self.jitter, self.policy.jitter_growth,
+                            self.policy.max_jitter_tries)
+        return F.solve(B), F.logdet()
+
     def lifts(self, params):
-        """Per-dimension factors and derivative lifts of U."""
+        """Per-dimension solves and derivative lifts of U."""
         U = params["U"]
         kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
         K1, Kd1 = self._K_and_Kd(self.x_col, self.tau1, kp1)
         K2, Kd2 = self._K_and_Kd(self.y_col, self.tau2, kp2)
-        F1 = robust_cholesky(K1, self.jitter, self.policy.jitter_growth,
-                             self.policy.max_jitter_tries)
-        F2 = robust_cholesky(K2, self.jitter, self.policy.jitter_growth,
-                             self.policy.max_jitter_tries)
-        K1inv_U = F1.solve(U)
-        K2inv_Ut = F2.solve(U.T)
+        K1inv_U, ld1 = self._psd_solve(K1, U)
+        K2inv_Ut, ld2 = self._psd_solve(K2, U.T)
         U_dx = Kd1 @ K1inv_U            # U_xx (or U_x for advection)
         U_dy = (Kd2 @ K2inv_Ut).T       # U_yy (or U_y)
-        return F1, F2, K1inv_U, K2inv_Ut, U_dx, U_dy
+        return ld1, ld2, K1inv_U, K2inv_Ut, U_dx, U_dy
 
     def residual(self, U, U_dx, U_dy):
         if self.eq_type == "poisson_2d":
@@ -139,19 +154,23 @@ class Solver2D:
 
     def gaps(self, params):
         U = params["U"]
-        F1, F2, K1inv_U, K2inv_Ut, U_dx, U_dy = self.lifts(params)
+        ld1, ld2, K1inv_U, K2inv_Ut, U_dx, U_dy = self.lifts(params)
         boundary_gap = jnp.sum(
             (self.boundary_slice(U) - self.bc_vals) ** 2)
         eq_gap = jnp.sum(self.residual(U, U_dx, U_dy) ** 2)
-        return F1, F2, K1inv_U, K2inv_Ut, boundary_gap, eq_gap
+        return ld1, ld2, K1inv_U, K2inv_Ut, boundary_gap, eq_gap
 
     def _loss(self, params):
         U = params["U"]
-        F1, F2, K1inv_U, K2inv_Ut, boundary_gap, eq_gap = self.gaps(params)
-        # Kronecker prior (reference: code/model_GP_solver_2d.py:157-162)
-        log_prior = -0.5 * self.N2 * F1.logdet() * self.logdet_flag \
-            - 0.5 * self.N1 * F2.logdet() * self.logdet_flag \
-            - 0.5 * jnp.sum(K1inv_U * K2inv_Ut.T)
+        ld1, ld2, K1inv_U, K2inv_Ut, boundary_gap, eq_gap = self.gaps(params)
+        # Kronecker prior (reference: code/model_GP_solver_2d.py:157-162);
+        # in CG mode the logdet terms are disabled by construction
+        if ld1 is None:
+            log_prior = -0.5 * jnp.sum(K1inv_U * K2inv_Ut.T)
+        else:
+            log_prior = -0.5 * self.N2 * ld1 * self.logdet_flag \
+                - 0.5 * self.N1 * ld2 * self.logdet_flag \
+                - 0.5 * jnp.sum(K1inv_U * K2inv_Ut.T)
         log_boundary_ll = 0.5 * self.Nb * params["log_tau"] \
             - 0.5 * jnp.exp(params["log_tau"]) * boundary_gap
         eq_ll = 0.5 * self.Nc * params["log_v"] \
@@ -162,10 +181,13 @@ class Solver2D:
         """Per-dimension cross-kernel posterior mean
         (reference: code/model_GP_solver_2d.py:185-220)."""
         kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
-        F1 = self._factor(self.tau1, kp1)
-        M1 = self.kernel.kappa(self.tau1_test, kp1) @ F1.solve(params["U"])
-        F2 = self._factor(self.tau2, kp2)
-        M2 = F2.solve(M1.T)
+        K1 = self.kernel.kappa(self.tau1, kp1) \
+            + self.jitter * jnp.eye(self.N1, dtype=self.policy.dtype)
+        M1 = self.kernel.kappa(self.tau1_test, kp1) \
+            @ self._psd_solve(K1, params["U"])[0]
+        K2 = self.kernel.kappa(self.tau2, kp2) \
+            + self.jitter * jnp.eye(self.N2, dtype=self.policy.dtype)
+        M2 = self._psd_solve(K2, M1.T)[0]
         return (self.kernel.kappa(self.tau2_test, kp2) @ M2).T
 
     def _eval_err(self, params):

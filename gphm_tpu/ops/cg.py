@@ -11,6 +11,7 @@ check is device-side.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -62,3 +63,41 @@ def cg_solve(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
         cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32)))
     return CGResult(x=x, iters=k,
                     residual_norm=jnp.linalg.norm(r.reshape(-1)))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable SPD solve via CG (implicit differentiation)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def psd_solve_cg(K, B, tol: float = 1e-8, maxiter: int = 1000):
+    """X = K^-1 B for SPD K, computed by CG with implicit-diff gradients.
+
+    ``lax.while_loop`` is not reverse-mode differentiable, so the VJP uses
+    the implicit function theorem: with cotangent G,
+
+        dB = K^-1 G          (one more CG solve)
+        dK = -(K^-1 G) X'
+
+    which is exact at convergence — the adjoint never unrolls the iteration.
+    This is the factorization-free path for grids beyond dense-Cholesky
+    scale (BASELINE.md: 512^2 collocation via CG + Kronecker matvec); the
+    matvec is a plain matmul, so it shards over the device mesh with no
+    special handling.
+    """
+    return cg_solve(lambda v: K @ v, B, tol=tol, maxiter=maxiter).x
+
+
+def _psd_solve_cg_fwd(K, B, tol, maxiter):
+    X = psd_solve_cg(K, B, tol, maxiter)
+    return X, (K, X)
+
+
+def _psd_solve_cg_bwd(tol, maxiter, res, G):
+    K, X = res
+    S = cg_solve(lambda v: K @ v, G, tol=tol, maxiter=maxiter).x
+    dK = -S @ X.T if X.ndim == 2 else -jnp.outer(S, X)
+    return dK, S
+
+
+psd_solve_cg.defvjp(_psd_solve_cg_fwd, _psd_solve_cg_bwd)

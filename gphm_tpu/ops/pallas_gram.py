@@ -22,6 +22,13 @@ solver (reference: code/model_GP_solver_1d.py:86-97).
 Supported kernels: SE_Cos (GP-HM-GM) and Matern52_Cos (GP-HM-Stm) — the two
 spectral-mixture kernels the paper benchmarks; the plain SE / Matern52
 baselines are their c == 0 special case and reuse the same kernels.
+
+Status: measured on TPU v5e (N=400, Q=30, inside the training scan) this
+kernel is runtime-identical to the XLA broadcast path — XLA fuses the
+mixture reduction, so the fusion this kernel hand-codes already happens —
+while Mosaic compilation is ~25x slower under this environment's remote
+compiler. Solvers therefore default to the XLA path; enable with
+config['use_pallas']=True (it stays bit-validated by tests/test_pallas_gram).
 """
 
 from __future__ import annotations

@@ -73,7 +73,7 @@ class RunConfig:
             "Q": self.Q, "lr": self.lr, "llk_weight": self.llk_weight,
             "freq_scale": self.freq_scale, "logdet": self.logdet,
             "tol": self.tol, "jitter": self.jitter,
-            "change_point": self.change_point,
+            "change_point": self.change_point, "solve": self.solve,
         }
 
 

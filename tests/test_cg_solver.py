@@ -1,0 +1,84 @@
+"""Factorization-free CG solve path (beyond-reference scale tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gphm_tpu.models.solver_2d import Solver2D
+from gphm_tpu.ops.cg import psd_solve_cg
+from gphm_tpu.precision import Policy
+from gphm_tpu.problems.equations import make_problem
+
+POLICY = Policy(dtype=jnp.float64, max_jitter_tries=0)
+
+
+def spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n))
+    return jnp.asarray(A @ A.T + n * np.eye(n))
+
+
+def test_psd_solve_cg_value_and_grad():
+    K = spd(24)
+    B = jnp.asarray(np.random.default_rng(1).normal(size=(24, 5)))
+
+    X = psd_solve_cg(K, B, 1e-12, 500)
+    np.testing.assert_allclose(np.asarray(X),
+                               np.linalg.solve(np.asarray(K), np.asarray(B)),
+                               rtol=1e-8)
+
+    # implicit-diff gradients == gradients through a dense solve
+    def f_cg(K, B):
+        return jnp.sum(jnp.sin(psd_solve_cg(K, B, 1e-13, 1000)))
+
+    def f_dense(K, B):
+        return jnp.sum(jnp.sin(jnp.linalg.solve(K, B)))
+
+    gK1, gB1 = jax.grad(f_cg, argnums=(0, 1))(K, B)
+    gK2, gB2 = jax.grad(f_dense, argnums=(0, 1))(K, B)
+    np.testing.assert_allclose(np.asarray(gB1), np.asarray(gB2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gK1), np.asarray(gK2), rtol=1e-6,
+                               atol=1e-10)
+
+
+def make_solvers(N=24):
+    prob = make_problem("poisson_2d-sin_sin", N_col=N, scale=2 * np.pi)
+    base = dict(Q=4, lr=0.01, llk_weight=200.0, logdet=False, tol=-1.0,
+                freq_scale=20.0, jitter=1e-6)
+    chol = Solver2D(prob, "Matern52_Cos_1d", base, POLICY)
+    cg = Solver2D(prob, "Matern52_Cos_1d",
+                  dict(base, solve="cg", cg_tol=1e-12, cg_maxiter=2000),
+                  POLICY)
+    return chol, cg
+
+
+def test_cg_loss_matches_cholesky_when_logdet_off():
+    chol, cg = make_solvers()
+    params = chol.init_params()
+    params["U"] = jnp.asarray(
+        np.random.default_rng(0).normal(size=params["U"].shape) * 0.1)
+    np.testing.assert_allclose(float(cg.loss(params)),
+                               float(chol.loss(params)), rtol=1e-9)
+    g1 = jax.grad(cg._loss)(params)
+    g2 = jax.grad(chol._loss)(params)
+    np.testing.assert_allclose(np.asarray(g1["U"]), np.asarray(g2["U"]),
+                               rtol=1e-6, atol=1e-8)
+    for k in ("log-w", "log-ls", "freq"):
+        np.testing.assert_allclose(
+            np.asarray(g1["kernel_paras_1"][k]),
+            np.asarray(g2["kernel_paras_1"][k]), rtol=1e-5, atol=1e-7)
+
+
+def test_cg_train_smoke():
+    _, cg = make_solvers()
+    res = cg.train(nepoch=40, verbose=False)
+    assert np.isfinite(res.min_err)
+
+
+def test_cg_requires_logdet_off():
+    prob = make_problem("poisson_2d-sin_sin", N_col=12, scale=1.0)
+    with pytest.raises(ValueError, match="logdet"):
+        Solver2D(prob, "Matern52_Cos_1d",
+                 dict(Q=3, lr=0.01, llk_weight=200.0, logdet=True, tol=-1.0,
+                      freq_scale=20.0, solve="cg"), POLICY)
