@@ -98,6 +98,12 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
             save_checkpoint(
                 os.path.join(directory, "opt_state_fold0.npz"),
                 res.opt_state)
+            if res.extras.get("base_params") is not None:
+                # two-GP runs: keep the frozen phase-1 GP alongside the
+                # phase-2 (extra) parameters for post-hoc prediction
+                save_checkpoint(
+                    os.path.join(directory, "base_params_fold0.npz"),
+                    res.extras["base_params"])
             if figures:
                 try:
                     from gphm_tpu.utils.plotting import training_figure

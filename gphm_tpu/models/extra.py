@@ -108,7 +108,9 @@ class Solver1DExtra(Solver1D):
         """Reference phase-2 init (code/model_GP_solver_1d_extra.py:269-278)."""
         d = self.policy.dtype
         return {
-            "log_tau": jnp.asarray(base_params["log_tau"], d),
+            # copy, not alias: the chunk runner donates its input buffers, so
+            # sharing storage with the frozen base params would delete them
+            "log_tau": jnp.copy(jnp.asarray(base_params["log_tau"], d)),
             "log_v": jnp.zeros((), d),
             "kernel_paras": {
                 "log-w": jnp.zeros((1,), d),
@@ -138,7 +140,9 @@ class Solver1DExtra(Solver1D):
         def phase_hook(epoch, st: TrainState) -> TrainState:
             # Fires after completing step i == change_point
             # (reference switch: code/model_GP_solver_1d_extra.py:263-282).
-            base_params = jax.tree_util.tree_map(lambda x: x, st.params)
+            # deep copy: downstream chunk runners donate their inputs, and
+            # the frozen base must outlive them
+            base_params = jax.tree_util.tree_map(jnp.copy, st.params)
             base_holder["params"] = base_params
 
             F = solver._factor(base_params["kernel_paras"])

@@ -1,0 +1,62 @@
+"""Post-hoc analysis layer: model rebuild from checkpoints, figure regen."""
+
+import os
+
+import numpy as np
+
+from gphm_tpu.analysis import compare_runs, load_model, predict, rel_l2
+from gphm_tpu.experiment import run_experiment
+from gphm_tpu.utils.checkpoint import run_dir
+from gphm_tpu.utils.config import load_config
+
+
+def _run(tmp_path, equation, **over):
+    cfg = load_config(equation, dtype="float64", **over)
+    run_experiment(cfg, out_base=str(tmp_path), verbose=False, figures=False)
+    return run_dir(str(tmp_path), cfg.equation, cfg.kernel, cfg.kernel_extra,
+                   over.get("nepoch", cfg.nepoch), over.get("Q", cfg.Q)), cfg
+
+
+def test_load_model_roundtrip_1d(tmp_path):
+    d, cfg = _run(tmp_path, "poisson_1d-single_sin", nepoch=40, N_col=48,
+                  Q=6)
+    solver, params = load_model(d)
+    err = rel_l2(solver, params)
+    assert np.isfinite(err)
+    p = predict(solver, params)
+    assert p.shape == (300,)
+
+
+def test_load_model_roundtrip_2d(tmp_path):
+    d, cfg = _run(tmp_path, "poisson_2d-sin_sin", nepoch=20, N_col=16, Q=4)
+    solver, params = load_model(d)
+    assert predict(solver, params).shape == (300, 300)
+
+
+def test_load_model_extra_two_phase(tmp_path):
+    d, cfg = _run(tmp_path, "poisson_1d-mix_sin", nepoch=40, N_col=32, Q=4,
+                  kernel_extra="Matern52_1d", change_point=0.1)
+    solver, params = load_model(d)
+    assert params["extra"] is not None
+    assert np.isfinite(rel_l2(solver, params))
+
+
+def test_compare_runs_figure(tmp_path):
+    d1, _ = _run(tmp_path, "poisson_1d-single_sin", nepoch=20, N_col=32, Q=4)
+    out = str(tmp_path / "cmp.png")
+    compare_runs([d1], out_path=out)
+    assert os.path.exists(out)
+
+
+def test_profiling_utils():
+    from gphm_tpu.utils.profiling import (PhaseTimer, cholesky_flops,
+                                          step_flops_1d, step_flops_2d, trace)
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    assert "a" in t.summary()
+    assert cholesky_flops(400) == 400 ** 3 // 3
+    assert step_flops_1d(400, 30) > 0
+    assert step_flops_2d(400, 400, 30) > step_flops_1d(400, 30)
+    with trace(None):
+        pass
