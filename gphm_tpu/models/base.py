@@ -232,13 +232,27 @@ def chunked_train(
     early_stopping = {"flag": False, "epoch": nepoch}
     fired = set()
 
+    # Single device executions are capped (a multi-minute XLA launch can trip
+    # infrastructure timeouts); long chunks run as repeated launches of one
+    # compiled program, which also keeps the number of distinct compiled scan
+    # lengths small.
+    max_launch = 5000
+
+    def run_steps(nsteps):
+        loss = None
+        while nsteps > 0:
+            k = min(nsteps, max_launch)
+            state.params, state.opt_state, loss = state.run_chunk(
+                state.params, state.opt_state, k)
+            nsteps -= k
+        return loss
+
     epoch = 0
     loss = float("nan")
     for t in targets:
         nsteps = t - epoch
         if nsteps > 0:
-            state.params, state.opt_state, loss = state.run_chunk(
-                state.params, state.opt_state, nsteps)
+            loss = run_steps(nsteps)
         epoch = t
 
         if phase_hook is not None and epoch in (phase_boundaries or []) \

@@ -190,9 +190,13 @@ class Solver1D:
         #           reference: code/model_GP_solver_1d.py:124-149)
         # 1D early stopping is disabled in the reference
         # (code/model_GP_solver_1d.py:272-276) so the whole run can execute
-        # as one fused on-device program
+        # as one fused on-device program. Very long single device executions
+        # (> ~1 min) can trip infrastructure timeouts, so auto mode caps the
+        # fused program at 20k epochs and uses per-eval-chunk dispatch above
+        # that (20 host round-trips per run — still negligible).
         if mode == "auto":
-            mode = "fused" if nepoch % 20 == 0 and nepoch >= 20 else "chunked"
+            mode = ("fused" if nepoch % 20 == 0 and 20 <= nepoch <= 20000
+                    else "chunked")
         if mode == "fused":
             from gphm_tpu.models.base import fused_train
             return fused_train(solver=self, nepoch=nepoch, verbose=verbose,

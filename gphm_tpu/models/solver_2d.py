@@ -228,9 +228,11 @@ class Solver2D:
         # (code/model_GP_solver_2d.py:327-332); otherwise fuse the whole run
         stop_active = self.eq_type != "advection" \
             and float(self.config.get("tol", -1.0)) > 0
+        # auto caps fused programs at 20k epochs (long single executions can
+        # trip infrastructure timeouts; see Solver1D.train)
         if mode == "auto":
             mode = ("fused" if not stop_active and nepoch % 20 == 0
-                    and nepoch >= 20 else "chunked")
+                    and 20 <= nepoch <= 20000 else "chunked")
         if mode == "fused":
             from gphm_tpu.models.base import fused_train
             return fused_train(solver=self, nepoch=nepoch, verbose=verbose,
