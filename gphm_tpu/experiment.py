@@ -82,11 +82,22 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
         def on_eval(epoch, err, loss):
             metrics.log(fold=fold, epoch=epoch, rel_l2=err, loss=loss)
 
+        on_checkpoint = None
+        if directory and fold == 0:
+            latest = os.path.join(directory, "latest.npz")
+
+            def on_checkpoint(epoch, params, opt_state):
+                # rolling checkpoint for crash resume (absent from the
+                # reference, which pickles only once post-training)
+                save_checkpoint(latest, (params, opt_state),
+                                meta={"epoch": epoch,
+                                      **dataclasses.asdict(config)})
+
         if verbose:
             print(f"fold {fold}: {config.equation} / {config.kernel} "
                   f"({nepoch} epochs)")
         res = solver.train(nepoch, seed=fold, verbose=verbose,
-                           on_eval=on_eval)
+                           on_eval=on_eval, on_checkpoint=on_checkpoint)
         err_list.append(res.min_err)
         stop_epochs.append(res.early_stopping["epoch"])
         fold_results.append(res)

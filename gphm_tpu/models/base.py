@@ -65,6 +65,33 @@ def eval_epochs(nepoch: int) -> List[int]:
     return [i for i in range(nepoch) if i % period == 0]
 
 
+def freezable_adam(lr: float, freeze=None) -> optax.GradientTransformation:
+    """Adam with optional parameter freezing.
+
+    ``freeze`` is a list of '/'-joined parameter paths (e.g.
+    ["kernel_paras/freq", "log_tau"]); matching subtrees get zero updates.
+    Functional replacement for the reference's dead-code ``frezze_paras``
+    hook (reference: code/kernel_matrix.py:87-104), done at the optimizer
+    level so the loss stays untouched.
+    """
+    adam = optax.adam(learning_rate=lr)
+    if not freeze:
+        return adam
+
+    def labels(params):
+        def leaf_label(path, _leaf):
+            keys = [getattr(p, "key", getattr(p, "idx", "")) for p in path]
+            pstr = "/".join(str(k) for k in keys)
+            frozen = any(pstr == f or pstr.startswith(f + "/")
+                         for f in freeze)
+            return "frozen" if frozen else "train"
+
+        return jax.tree_util.tree_map_with_path(leaf_label, params)
+
+    return optax.multi_transform(
+        {"train": adam, "frozen": optax.set_to_zero()}, labels)
+
+
 def make_step_fn(loss_fn: Callable, optimizer: optax.GradientTransformation):
     """One optimization step (reference: code/model_GP_solver_1d.py:151-158)."""
 
@@ -209,6 +236,8 @@ def chunked_train(
     phase_boundaries: Optional[List[int]] = None,
     phase_hook: Optional[Callable] = None,   # (epoch, state) -> state
     on_eval: Optional[Callable] = None,      # host callback(epoch, err, loss)
+    on_checkpoint: Optional[Callable] = None,  # (epoch, params, opt_state)
+    nan_policy: str = "warn",                # "warn" | "raise"
     verbose: bool = True,
 ) -> TrainResult:
     """Run the reference training protocol with scan-fused epochs.
@@ -282,6 +311,19 @@ def chunked_train(
                       f"min {min_err:g}  criterion {criterion:g}")
             if on_eval is not None:
                 on_eval(i, err, loss_f)
+            if on_checkpoint is not None:
+                on_checkpoint(i, state.params, state.opt_state)
+
+            # NaN/inf guard — the reference trains blindly through
+            # divergence and only papers over NaNs in post-hoc analysis
+            # (SURVEY §5 "failure detection")
+            if not (np.isfinite(loss_f) and np.isfinite(err)):
+                msg = (f"non-finite training state at epoch {i}: "
+                       f"loss={loss_f}, rel-L2={err}")
+                if nan_policy == "raise":
+                    raise FloatingPointError(msg)
+                if verbose:
+                    print("WARNING:", msg)
 
             stop = False
             if early_stop_mode == "tol":

@@ -121,7 +121,8 @@ class Solver1DExtra(Solver1D):
 
     # ------------------------------------------------------------------
     def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
-              on_eval=None) -> TrainResult:
+              on_eval=None, on_checkpoint=None,
+              nan_policy: str = "warn") -> TrainResult:
         del seed  # deterministic; phase-1/2 losses ignore their RNG keys
         change_point = int(nepoch * float(self.config["change_point"]))
         solver = self
@@ -185,6 +186,7 @@ class Solver1DExtra(Solver1D):
             early_stop_mode="tol_or_count",
             phase_boundaries=[change_point + 1],
             phase_hook=phase_hook,
-            on_eval=on_eval, verbose=verbose)
+            on_eval=on_eval, on_checkpoint=on_checkpoint,
+            nan_policy=nan_policy, verbose=verbose)
         result.extras["base_params"] = base_holder.get("params")
         return result

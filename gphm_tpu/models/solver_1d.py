@@ -60,7 +60,8 @@ class Solver1D:
         self.tau = self.X_col[:, None] - self.X_col[None, :]
         self.tau_test = self.X_test[:, None] - self.X_col[None, :]
 
-        self.optimizer = optax.adam(learning_rate=config["lr"])
+        from gphm_tpu.models.base import freezable_adam
+        self.optimizer = freezable_adam(config["lr"], config.get("freeze"))
         self.jitter = float(config.get("jitter", 1e-6))
         self.llk_weight = float(config["llk_weight"])
         self.logdet_flag = float(bool(config.get("logdet", True)))
@@ -168,15 +169,20 @@ class Solver1D:
     # ------------------------------------------------------------------
     # training
     # ------------------------------------------------------------------
-    def init_params(self):
-        """Reference init (code/model_GP_solver_1d.py:203-213)."""
+    def init_params(self, seed: int = 0):
+        """Reference init (code/model_GP_solver_1d.py:203-213); the latent
+        u initializer is selectable via config['init_u'] (zeros default,
+        matching every shipped reference config)."""
+        from gphm_tpu.problems.init_u import get_init_u
         d = self.policy.dtype
+        u0 = get_init_u(self.config.get("init_u", "zeros"))(
+            self.N_col, self.bc_vals, key=jax.random.PRNGKey(seed), dtype=d)
         return {
             "log_tau": jnp.zeros((), d),
             "log_v": jnp.zeros((), d),
             "kernel_paras": init_mixture_params(
                 int(self.config["Q"]), float(self.config["freq_scale"]), d),
-            "u": jnp.zeros((self.N_col, 1), d),
+            "u": u0,
         }
 
     def param_log(self, params):
@@ -185,9 +191,12 @@ class Solver1D:
                 "ls_list": jnp.exp(kp["log-ls"])}
 
     def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
-              on_eval=None, mode: str = "auto") -> TrainResult:
-        del seed  # the algorithm is deterministic (loss ignores its RNG key,
-        #           reference: code/model_GP_solver_1d.py:124-149)
+              on_eval=None, mode: str = "auto", on_checkpoint=None,
+              nan_policy: str = "warn") -> TrainResult:
+        # seed only affects random u initializers (config['init_u']); with
+        # the default zeros init the algorithm is fully deterministic (the
+        # reference's loss likewise ignores its RNG key,
+        # code/model_GP_solver_1d.py:124-149)
         # 1D early stopping is disabled in the reference
         # (code/model_GP_solver_1d.py:272-276) so the whole run can execute
         # as one fused on-device program. Very long single device executions
@@ -199,10 +208,11 @@ class Solver1D:
                     else "chunked")
         if mode == "fused":
             from gphm_tpu.models.base import fused_train
-            return fused_train(solver=self, nepoch=nepoch, verbose=verbose,
+            return fused_train(solver=self, params=self.init_params(seed),
+                               nepoch=nepoch, verbose=verbose,
                                on_eval=on_eval)
         state = TrainState(
-            params=self.init_params(),
+            params=self.init_params(seed),
             opt_state=None,
             run_chunk=make_chunk_runner(self._loss, self.optimizer),
             eval_fn=self.eval_err,
@@ -214,4 +224,5 @@ class Solver1D:
             state=state, nepoch=nepoch,
             tol=float(self.config.get("tol", -1.0)),
             early_stop_mode="off",
-            on_eval=on_eval, verbose=verbose)
+            on_eval=on_eval, on_checkpoint=on_checkpoint,
+            nan_policy=nan_policy, verbose=verbose)

@@ -68,7 +68,8 @@ class Solver2D:
         self.tau1_test = self.x_test[:, None] - self.x_col[None, :]
         self.tau2_test = self.y_test[:, None] - self.y_col[None, :]
 
-        self.optimizer = optax.adam(learning_rate=config["lr"])
+        from gphm_tpu.models.base import freezable_adam
+        self.optimizer = freezable_adam(config["lr"], config.get("freeze"))
         self.jitter = float(config.get("jitter", 1e-6))
         self.llk_weight = float(config["llk_weight"])
         self.logdet_flag = float(bool(config.get("logdet", True)))
@@ -222,7 +223,8 @@ class Solver2D:
         return out
 
     def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
-              on_eval=None, mode: str = "auto") -> TrainResult:
+              on_eval=None, mode: str = "auto", on_checkpoint=None,
+              nan_policy: str = "warn") -> TrainResult:
         del seed  # deterministic; see Solver1D.train
         # early stopping is active only for Poisson/AC 2D with tol > 0
         # (code/model_GP_solver_2d.py:327-332); otherwise fuse the whole run
@@ -254,4 +256,5 @@ class Solver2D:
             state=state, nepoch=nepoch,
             tol=float(self.config.get("tol", -1.0)),
             early_stop_mode=mode,
-            on_eval=on_eval, verbose=verbose)
+            on_eval=on_eval, on_checkpoint=on_checkpoint,
+            nan_policy=nan_policy, verbose=verbose)

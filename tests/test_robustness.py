@@ -1,0 +1,83 @@
+"""Parameter freezing, u initializers, rolling checkpoints, NaN guard."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gphm_tpu.experiment import run_experiment
+from gphm_tpu.models.solver_1d import Solver1D
+from gphm_tpu.precision import Policy
+from gphm_tpu.problems.equations import make_problem
+from gphm_tpu.problems.init_u import get_init_u
+from gphm_tpu.utils.checkpoint import load_checkpoint, load_meta, run_dir
+from gphm_tpu.utils.config import load_config
+
+POLICY = Policy(dtype=jnp.float64, max_jitter_tries=0)
+CFG = dict(Q=4, lr=0.01, llk_weight=200.0, logdet=True, tol=-1.0,
+           freq_scale=20.0, jitter=1e-6)
+
+
+def test_freeze_keeps_parameters_fixed():
+    prob = make_problem("poisson_1d-single_sin", N_col=32, scale=2 * np.pi)
+    solver = Solver1D(prob, "Matern52_Cos_1d",
+                      dict(CFG, freeze=["kernel_paras/freq", "log_tau"]),
+                      POLICY)
+    res = solver.train(nepoch=40, verbose=False, mode="chunked")
+    init = solver.init_params()
+    np.testing.assert_array_equal(np.asarray(res.params["kernel_paras"]["freq"]),
+                                  np.asarray(init["kernel_paras"]["freq"]))
+    np.testing.assert_array_equal(np.asarray(res.params["log_tau"]),
+                                  np.asarray(init["log_tau"]))
+    # unfrozen params did move
+    assert not np.allclose(np.asarray(res.params["kernel_paras"]["log-w"]),
+                           np.asarray(init["kernel_paras"]["log-w"]))
+
+
+def test_init_u_variants():
+    bc = jnp.asarray([1.0, 3.0])
+    key = jax.random.PRNGKey(0)
+    assert np.all(np.asarray(get_init_u("zeros")(8, bc, key=key)) == 0)
+    lin = np.asarray(get_init_u("linear")(8, bc, key=key)).reshape(-1)
+    np.testing.assert_allclose(lin, np.linspace(1, 3, 8), rtol=1e-6)
+    rn = np.asarray(get_init_u("randn")(8, bc, key=key))
+    assert rn.std() > 0
+    lr = np.asarray(get_init_u("linear_randn")(8, bc, key=key))
+    assert lr.shape == (8, 1)
+    with pytest.raises(KeyError):
+        get_init_u("nope")
+
+
+def test_init_u_via_config_changes_start_point():
+    prob = make_problem("poisson_1d-single_sin", N_col=24, scale=2 * np.pi)
+    s = Solver1D(prob, "Matern52_Cos_1d", dict(CFG, init_u="randn"), POLICY)
+    p0 = s.init_params(seed=0)
+    p1 = s.init_params(seed=1)
+    assert not np.allclose(np.asarray(p0["u"]), np.asarray(p1["u"]))
+
+
+def test_rolling_checkpoint_written_and_loadable(tmp_path):
+    cfg = load_config("poisson_1d-single_sin", dtype="float64", N_col=32,
+                      nepoch=37, Q=4)  # indivisible -> chunked mode
+    run_experiment(cfg, out_base=str(tmp_path), verbose=False, figures=False)
+    d = run_dir(str(tmp_path), cfg.equation, cfg.kernel, None, 37, 4)
+    latest = os.path.join(d, "latest.npz")
+    assert os.path.exists(latest)
+    meta = load_meta(latest)["meta"]
+    assert meta["equation"] == cfg.equation
+    from gphm_tpu.experiment import make_solver
+    solver = make_solver(cfg)
+    tmpl = (solver.init_params(), solver.optimizer.init(solver.init_params()))
+    params, opt_state = load_checkpoint(latest, tmpl)
+    assert np.isfinite(np.asarray(params["u"])).all()
+
+
+def test_nan_policy_raise():
+    prob = make_problem("poisson_1d-single_sin", N_col=24, scale=2 * np.pi)
+    # absurd lr to force divergence
+    solver = Solver1D(prob, "Matern52_Cos_1d", dict(CFG, lr=1e12), POLICY)
+    with pytest.raises(FloatingPointError):
+        solver.train(nepoch=40, verbose=False, mode="chunked",
+                     nan_policy="raise")
