@@ -49,10 +49,22 @@ class Solver1DExtra(Solver1D):
 
     # ------------------------------------------------------------------
     def _factor_extra(self, kernel_paras):
-        K = self.kernel_extra.kappa(self.tau, kernel_paras)
-        K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
+        if self.toeplitz:
+            from gphm_tpu.ops.gram import toeplitz_gram
+            K = toeplitz_gram(self.kernel_extra, self.lags, self.lag_idx,
+                              kernel_paras, jitter=self.jitter)
+        else:
+            K = self.kernel_extra.kappa(self.tau, kernel_paras)
+            K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
         return robust_cholesky(K, self.jitter, self.policy.jitter_growth,
                                self.policy.max_jitter_tries)
+
+    def _d2_extra(self, kernel_paras):
+        if self.toeplitz:
+            from gphm_tpu.ops.gram import toeplitz_gram
+            return toeplitz_gram(self.kernel_extra, self.lags, self.lag_idx,
+                                 kernel_paras, deriv=2)
+        return self.kernel_extra.d2(self.tau, kernel_paras)
 
     def make_loss_extra(self, u_base, u_xx_base):
         """Phase-2 loss with the frozen base lifted out as constants
@@ -65,7 +77,7 @@ class Solver1DExtra(Solver1D):
             kp = params_extra["kernel_paras"]
             F = self._factor_extra(kp)
             alpha = F.solve(u_extra)
-            u_xx_extra = self.kernel_extra.d2(self.tau, kp) @ alpha
+            u_xx_extra = self._d2_extra(kp) @ alpha
 
             boundary_gap = jnp.sum(
                 (u_base[self.bc_idx].reshape(-1)

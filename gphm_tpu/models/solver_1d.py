@@ -60,6 +60,16 @@ class Solver1D:
         self.tau = self.X_col[:, None] - self.X_col[None, :]
         self.tau_test = self.X_test[:, None] - self.X_col[None, :]
 
+        # Toeplitz fast path: on uniform grids (all shipped configs) the
+        # Gram build needs only the 2N-1 distinct lags — O(NQ) instead of
+        # O(N^2 Q) transcendentals per matrix
+        from gphm_tpu.ops.gram import toeplitz_lags, uniform_spacing
+        h = uniform_spacing(self.X_col) \
+            if config.get("toeplitz", True) else None
+        self.toeplitz = h is not None
+        if self.toeplitz:
+            self.lags, self.lag_idx = toeplitz_lags(self.N_col, h, p.dtype)
+
         from gphm_tpu.models.base import freezable_adam
         self.optimizer = freezable_adam(config["lr"], config.get("freeze"))
         self.jitter = float(config.get("jitter", 1e-6))
@@ -99,14 +109,26 @@ class Solver1D:
             return gram_pair_from_params(
                 self.kernel.name, self.X_col, kernel_paras, deriv=deriv,
                 jitter=self.jitter)
+        if self.toeplitz:
+            from gphm_tpu.ops.gram import toeplitz_gram
+            K = toeplitz_gram(self.kernel, self.lags, self.lag_idx,
+                              kernel_paras, jitter=self.jitter)
+            Kd = toeplitz_gram(self.kernel, self.lags, self.lag_idx,
+                               kernel_paras, deriv=deriv)
+            return K, Kd
         K = self.kernel.kappa(self.tau, kernel_paras)
         K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
         Kd = self.kernel.deriv(deriv)(self.tau, kernel_paras)
         return K, Kd
 
     def _factor(self, kernel_paras):
-        K = self.kernel.kappa(self.tau, kernel_paras)
-        K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
+        if self.toeplitz:
+            from gphm_tpu.ops.gram import toeplitz_gram
+            K = toeplitz_gram(self.kernel, self.lags, self.lag_idx,
+                              kernel_paras, jitter=self.jitter)
+        else:
+            K = self.kernel.kappa(self.tau, kernel_paras)
+            K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
         return robust_cholesky(K, self.jitter, self.policy.jitter_growth,
                                self.policy.max_jitter_tries)
 

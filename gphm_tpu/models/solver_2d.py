@@ -68,6 +68,17 @@ class Solver2D:
         self.tau1_test = self.x_test[:, None] - self.x_col[None, :]
         self.tau2_test = self.y_test[:, None] - self.y_col[None, :]
 
+        # Toeplitz fast path on uniform per-dimension grids (all shipped
+        # configs); see Solver1D
+        from gphm_tpu.ops.gram import toeplitz_lags, uniform_spacing
+        use_toe = config.get("toeplitz", True)
+        h1 = uniform_spacing(self.x_col) if use_toe else None
+        h2 = uniform_spacing(self.y_col) if use_toe else None
+        self.toeplitz = h1 is not None and h2 is not None
+        if self.toeplitz:
+            self.lags1, self.lag_idx1 = toeplitz_lags(self.N1, h1, p.dtype)
+            self.lags2, self.lag_idx2 = toeplitz_lags(self.N2, h2, p.dtype)
+
         from gphm_tpu.models.base import freezable_adam
         self.optimizer = freezable_adam(config["lr"], config.get("freeze"))
         self.jitter = float(config.get("jitter", 1e-6))
@@ -104,14 +115,25 @@ class Solver2D:
         self.eval_err = jax.jit(self._eval_err)
 
     # ------------------------------------------------------------------
+    def _lags_for(self, tau):
+        return (self.lags1, self.lag_idx1) if tau is self.tau1 \
+            else (self.lags2, self.lag_idx2)
+
     def _K_and_Kd(self, x, tau, kernel_paras):
-        """Per-dimension covariance + derivative cross-covariance (fused in
-        Pallas on TPU)."""
+        """Per-dimension covariance + derivative cross-covariance."""
         if self.use_pallas:
             from gphm_tpu.ops.pallas_gram import gram_pair_from_params
             return gram_pair_from_params(
                 self.kernel.name, x, kernel_paras, deriv=self.deriv_order,
                 jitter=self.jitter)
+        if self.toeplitz:
+            from gphm_tpu.ops.gram import toeplitz_gram
+            lags, idx = self._lags_for(tau)
+            K = toeplitz_gram(self.kernel, lags, idx, kernel_paras,
+                              jitter=self.jitter)
+            Kd = toeplitz_gram(self.kernel, lags, idx, kernel_paras,
+                               deriv=self.deriv_order)
+            return K, Kd
         K = self.kernel.kappa(tau, kernel_paras)
         K = K + self.jitter * jnp.eye(K.shape[0], dtype=K.dtype)
         Kd = self.kernel.deriv(self.deriv_order)(tau, kernel_paras)

@@ -41,3 +41,52 @@ def cross_gram(kernel: StationaryKernel, x1, x2, params, *, deriv: int = 0):
     """Rectangular cross-covariance between test points x1 and training x2
     (reference preds cross-Gram: code/model_GP_solver_1d.py:172-178)."""
     return kernel.deriv(deriv)(_tau(x1, x2), params)
+
+
+# ---------------------------------------------------------------------------
+# Toeplitz fast path for uniform collocation grids
+# ---------------------------------------------------------------------------
+
+def uniform_spacing(x) -> float | None:
+    """Grid spacing if x is (numerically) uniform, else None. Every shipped
+    reference config collocates on np.linspace grids
+    (reference: code/model_GP_solver_1d.py:348, _2d.py:370-371)."""
+    import numpy as np
+
+    xh = np.asarray(x).reshape(-1)
+    if xh.size < 2:
+        return None
+    d = np.diff(xh)
+    h = float(d.mean())
+    if np.allclose(d, h, rtol=1e-10, atol=1e-12):
+        return h
+    return None
+
+
+def toeplitz_lags(N: int, h: float, dtype):
+    """The 2N-1 distinct signed differences tau_ij = (i - j) h of a uniform
+    grid, and the (N, N) gather index matrix mapping lag -> position."""
+    import numpy as np
+
+    lags = jnp.asarray(np.arange(-(N - 1), N) * h, dtype)
+    i = np.arange(N)
+    idx = jnp.asarray((i[:, None] - i[None, :]) + (N - 1), jnp.int32)
+    return lags, idx
+
+
+def toeplitz_gram(kernel: StationaryKernel, lags, idx, params, *,
+                  deriv: int = 0, jitter: float = 0.0):
+    """Gram matrix on a uniform grid via its Toeplitz structure.
+
+    A stationary kernel on a uniform grid takes only 2N-1 distinct values, so
+    the O(N^2 Q) transcendental evaluation of the dense path collapses to
+    O(N Q) on the lag vector plus one structured gather — the dominant cost
+    of every GP-HM training step in the reference's formulation simply
+    disappears. (The reference evaluates all N^2 pairs,
+    code/kernel_matrix.py:26-27.)
+    """
+    kvec = kernel.deriv(deriv)(lags, params)   # (2N-1,)
+    K = jnp.take(kvec, idx, axis=0)
+    if jitter:
+        K = K + jitter * jnp.eye(idx.shape[0], dtype=K.dtype)
+    return K
