@@ -37,16 +37,18 @@ class SPDFactor(NamedTuple):
     jitter_used: jax.Array  # scalar: escalation jitter actually applied (0 if none)
 
     def solve(self, B):
-        """K^-1 B via two triangular solves."""
+        """K^-1 B via two triangular solves (batched when L is (..., N, N))."""
         y = solve_triangular(self.L, B, lower=True)
-        return solve_triangular(self.L.T, y, lower=False)
+        return solve_triangular(jnp.swapaxes(self.L, -1, -2), y, lower=False)
 
     def half_solve(self, B):
         """L^-1 B — for quadratic forms u'K^-1 u = ||L^-1 u||^2."""
         return solve_triangular(self.L, B, lower=True)
 
     def logdet(self):
-        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(self.L)))
+        """log|K| (per batch element when L is batched (..., N, N))."""
+        d = jnp.diagonal(self.L, axis1=-2, axis2=-1)
+        return 2.0 * jnp.sum(jnp.log(d), axis=-1)
 
 
 def robust_cholesky(K, base_jitter: float = 1e-6, growth: float = 100.0,
@@ -62,7 +64,7 @@ def robust_cholesky(K, base_jitter: float = 1e-6, growth: float = 100.0,
                          jitter_used=jnp.zeros((), K.dtype))
 
     Kp = jax.lax.stop_gradient(K)
-    eye = jnp.eye(K.shape[0], dtype=K.dtype)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)  # broadcasts over batch dims
 
     def probe_ok(extra):
         return jnp.all(jnp.isfinite(jnp.linalg.cholesky(Kp + extra * eye)))
