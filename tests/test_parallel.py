@@ -48,6 +48,28 @@ def test_tp_sharded_step_matches_unsharded():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_tp_sharded_cg_step():
+    """Factorization-free CG mode also runs sharded: the Kronecker matvec is
+    plain matmuls, so GSPMD partitions it over the model axis."""
+    prob = make_problem("poisson_2d-sin_sin", N_col=32, scale=2 * np.pi)
+    cfg = dict(CFG, logdet=False, solve="cg", cg_tol=1e-10, cg_maxiter=500)
+    solver = Solver2D(prob, "Matern52_Cos_1d", cfg, POLICY)
+    mesh = make_mesh((1, 8))
+    params = solver.init_params()
+    params["U"] = jnp.asarray(
+        np.random.default_rng(3).normal(size=params["U"].shape) * 0.1)
+    opt_state = solver.optimizer.init(params)
+
+    step_ref = jax.jit(make_step_fn(solver._loss, solver.optimizer))
+    _, _, loss_ref = step_ref(params, opt_state)
+
+    step, pshard = sharded_train_step_2d(solver, mesh)
+    params_s = device_put_params(params, pshard)
+    _, _, loss = step(params_s, opt_state)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-8)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
 def test_dp_tp_batched_step():
     solver = make_solver(32)
     mesh = make_mesh((2, 4))
