@@ -69,6 +69,11 @@ def main():
     log(f"steady-state: {ms_per_epoch:.3f} ms/epoch "
         f"({1000 / ms_per_epoch:.0f} epochs/s)")
 
+    from gphm_tpu.utils.profiling import step_flops_1d
+    fl = step_flops_1d(cfg.N_col, cfg.Q) * 3  # fwd + ~2x reverse mode
+    log(f"approx Gram+Cholesky pipeline: "
+        f"{fl / (ms_per_epoch * 1e-3) / 1e12:.3f} TFLOP/s sustained")
+
     # 2D diagnostic (smaller epoch count; reference smoke 90.6 ms/epoch)
     try:
         cfg2 = load_config("poisson_2d-sin_sin", dtype="float32")
