@@ -1,0 +1,64 @@
+"""Beyond-reference scale point: 512^2 (and larger) 2D collocation grids.
+
+The reference tops out at dense N_col = 400-900 per dimension. This script
+times the 2D training step at N = 512 per dimension (262k unknowns) under
+both solve modes:
+
+  * cholesky — per-dimension batched dense factors (the Kronecker trick keeps
+    this viable far beyond the reference's practical envelope on TPU),
+  * cg       — factorization-free Kronecker-matvec CG (logdet-off objective),
+
+and writes one summary line per mode. Usage:
+    python tools/bench_largegrid.py [N] [steps]
+"""
+
+import sys
+import time
+
+
+def main():
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import numpy as np
+
+    from gphm_tpu.models.base import make_chunk_runner
+    from gphm_tpu.models.solver_2d import Solver2D
+    from gphm_tpu.precision import Policy
+    from gphm_tpu.problems.equations import make_problem
+    import jax.numpy as jnp
+
+    prob = make_problem("poisson_2d-sin_sin", N_col=N, scale=2 * np.pi,
+                        dtype=jnp.float32)
+
+    for mode in ("cholesky", "cg"):
+        cfg = dict(Q=30, lr=0.01, llk_weight=200.0, logdet=False, tol=-1.0,
+                   freq_scale=20.0, jitter=1e-6, solve=mode,
+                   cg_tol=1e-5, cg_maxiter=400)
+        solver = Solver2D(prob, "Matern52_Cos_1d", cfg,
+                          Policy(dtype=jnp.float32))
+        rc = make_chunk_runner(solver._loss, solver.optimizer)
+        p = solver.init_params()
+        o = solver.optimizer.init(p)
+        t0 = time.time()
+        p, o, l = rc(p, o, steps)
+        jax.block_until_ready(l)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        p, o, l = rc(p, o, steps)
+        jax.block_until_ready(l)
+        ms = (time.time() - t0) / steps * 1000
+        err = float(solver.eval_err(p))
+        print(f"N={N}^2 solve={mode}: {ms:.2f} ms/epoch "
+              f"(compile {compile_s:.0f}s, loss {float(l):.4g}, "
+              f"rel-L2@{2 * steps} {err:.3f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
