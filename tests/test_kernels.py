@@ -125,6 +125,29 @@ def test_xy_autodiff_equivalence(name):
 
 
 @pytest.mark.parametrize("name", ALL)
+def test_higher_order_xy_equivalence(name):
+    """D_x1_DD_y1 (3rd) and DD_x1_DD_y1 (4th) against two-argument nested
+    grads — the reference's full derivative-op surface
+    (code/kernel_matrix.py:74-82)."""
+    k = get_kernel(name)
+    p = params_for(name)
+
+    def kxy(x, y):
+        return k.kappa_scalar(x - y, p)
+
+    xs = jnp.asarray(np.linspace(0.1, 1.0, 5))
+    ys = jnp.asarray(np.linspace(0.0, 0.9, 5) + 0.21)
+    t = xs - ys
+    d3_ref = jax.vmap(jax.grad(jax.grad(jax.grad(kxy, 0), 1), 1))(xs, ys)
+    d4_ref = jax.vmap(
+        jax.grad(jax.grad(jax.grad(jax.grad(kxy, 0), 0), 1), 1))(xs, ys)
+    np.testing.assert_allclose(np.asarray(k.D_x1_DD_y1(t, p)),
+                               np.asarray(d3_ref), rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(k.DD_x1_DD_y1(t, p)),
+                               np.asarray(d4_ref), rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("name", ALL)
 def test_finite_differences(name):
     k = get_kernel(name)
     p = params_for(name)
