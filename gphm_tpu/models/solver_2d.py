@@ -29,7 +29,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import optax
+
 
 from gphm_tpu.models.base import TrainResult, TrainState, chunked_train, \
     make_chunk_runner

@@ -23,7 +23,7 @@ recipe: pick a mesh, annotate, let the compiler insert collectives).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import numpy as np

@@ -11,7 +11,7 @@ _advection.py:354-362) — the manufactured solution is the correctness oracle
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
