@@ -23,5 +23,6 @@ run() {
 run poisson_1d-mix_sin 1000000 --extra
 run poisson_1d-x2_add_sinx 1000000 --extra
 run poisson_2d-sin_add_cos 1000000
+run advection-sin 1000000
 run allencahn_2d-mix-sincos 3000000
 echo "SWEEP-PHASE2-DONE $(date +%H:%M:%S)" >> "$LOG"
