@@ -88,3 +88,46 @@ def test_dp_tp_batched_step():
     np.testing.assert_allclose(np.asarray(losses[0]), np.asarray(losses[1]),
                                rtol=1e-12)
     assert np.isfinite(np.asarray(losses)).all()
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_dp_sweep_over_freq_scales():
+    """Concurrent hyperparameter sweep: batch sharded over the data axis."""
+    from gphm_tpu.models.solver_1d import Solver1D
+    from gphm_tpu.parallel.sweep import run_sweep, sweep_variants
+
+    prob = make_problem("poisson_1d-single_sin", N_col=32, scale=2 * np.pi)
+    solver = Solver1D(prob, "Matern52_Cos_1d",
+                      dict(CFG, Q=4, freq_scale=20.0), POLICY)
+    base = solver.init_params()
+    batch = sweep_variants(solver, base, freq_scales=[10.0, 20.0, 30.0, 40.0])
+    mesh = make_mesh((4, 2))
+    params, errs, losses = run_sweep(solver, batch, nepoch=50, mesh=mesh,
+                                     chunk=25)
+    assert errs.shape == (4,) and np.isfinite(errs).all()
+    assert losses.shape == (4,)
+    # the variants genuinely differ
+    assert len({round(float(e), 8) for e in errs}) > 1
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_dp_sweep_matches_sequential():
+    from gphm_tpu.models.base import make_step_fn
+    from gphm_tpu.models.solver_1d import Solver1D
+    from gphm_tpu.parallel.sweep import run_sweep, sweep_variants
+
+    prob = make_problem("poisson_1d-single_sin", N_col=24, scale=2 * np.pi)
+    solver = Solver1D(prob, "Matern52_Cos_1d", dict(CFG, Q=4), POLICY)
+    base = solver.init_params()
+    batch = sweep_variants(solver, base, freq_scales=[15.0, 25.0])
+    _, errs, _ = run_sweep(solver, batch, nepoch=30, chunk=30)
+
+    # sequential replication of variant 1
+    p = jax.tree_util.tree_map(jnp.copy, base)
+    p["kernel_paras"]["freq"] = base["kernel_paras"]["freq"] * (25.0 / 20.0)
+    o = solver.optimizer.init(p)
+    step = jax.jit(make_step_fn(solver._loss, solver.optimizer))
+    for _ in range(30):
+        p, o, _ = step(p, o)
+    np.testing.assert_allclose(float(solver.eval_err(p)), errs[1],
+                               rtol=1e-9)
