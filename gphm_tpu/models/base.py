@@ -238,20 +238,24 @@ def chunked_train(
     on_eval: Optional[Callable] = None,      # host callback(epoch, err, loss)
     on_checkpoint: Optional[Callable] = None,  # (epoch, params, opt_state)
     nan_policy: str = "warn",                # "warn" | "raise"
+    start_epoch: int = 0,
     verbose: bool = True,
 ) -> TrainResult:
     """Run the reference training protocol with scan-fused epochs.
 
     ``phase_boundaries`` are epoch counts at which ``phase_hook`` must run
     (e.g. the two-GP change point); chunks are split there as well as at the
-    evaluation cadence.
+    evaluation cadence. ``start_epoch > 0`` resumes a crashed run from a
+    rolling checkpoint: the eval cadence stays aligned to the original
+    absolute epochs.
     """
     evals = eval_epochs(nepoch)
-    eval_set = set(evals)
+    eval_set = set(e for e in evals if e >= start_epoch)
 
-    targets = sorted(set([e + 1 for e in evals] + [nepoch]
-                         + [b for b in (phase_boundaries or [])
-                            if 0 < b < nepoch]))
+    targets = sorted(set(
+        [e + 1 for e in evals] + [nepoch]
+        + [b for b in (phase_boundaries or []) if 0 < b < nepoch]))
+    targets = [t for t in targets if t > start_epoch]
 
     start = time.time()
     log: Dict[str, List] = {"loss_list": [], "err_list": [], "epoch_list": []}
@@ -276,7 +280,7 @@ def chunked_train(
             nsteps -= k
         return loss
 
-    epoch = 0
+    epoch = start_epoch
     loss = float("nan")
     for t in targets:
         nsteps = t - epoch

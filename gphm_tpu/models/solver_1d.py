@@ -214,7 +214,10 @@ class Solver1D:
 
     def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
               on_eval=None, mode: str = "auto", on_checkpoint=None,
-              nan_policy: str = "warn") -> TrainResult:
+              nan_policy: str = "warn", init_state=None,
+              start_epoch: int = 0) -> TrainResult:
+        if start_epoch or init_state is not None:
+            mode = "chunked"  # resume keeps the absolute eval cadence
         # seed only affects random u initializers (config['init_u']); with
         # the default zeros init the algorithm is fully deterministic (the
         # reference's loss likewise ignores its RNG key,
@@ -233,18 +236,20 @@ class Solver1D:
             return fused_train(solver=self, params=self.init_params(seed),
                                nepoch=nepoch, verbose=verbose,
                                on_eval=on_eval)
+        params = init_state[0] if init_state else self.init_params(seed)
         state = TrainState(
-            params=self.init_params(seed),
-            opt_state=None,
+            params=params,
+            opt_state=(init_state[1] if init_state
+                       else self.optimizer.init(params)),
             run_chunk=make_chunk_runner(self._loss, self.optimizer),
             eval_fn=self.eval_err,
             criterion_fn=self.criterion,
             param_log_fn=jax.jit(self.param_log),
         )
-        state.opt_state = self.optimizer.init(state.params)
         return chunked_train(
             state=state, nepoch=nepoch,
             tol=float(self.config.get("tol", -1.0)),
             early_stop_mode="off",
             on_eval=on_eval, on_checkpoint=on_checkpoint,
-            nan_policy=nan_policy, verbose=verbose)
+            nan_policy=nan_policy, start_epoch=start_epoch,
+            verbose=verbose)

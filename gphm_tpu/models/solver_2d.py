@@ -260,8 +260,11 @@ class Solver2D:
 
     def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
               on_eval=None, mode: str = "auto", on_checkpoint=None,
-              nan_policy: str = "warn") -> TrainResult:
+              nan_policy: str = "warn", init_state=None,
+              start_epoch: int = 0) -> TrainResult:
         del seed  # deterministic; see Solver1D.train
+        if start_epoch or init_state is not None:
+            mode = "chunked"  # resume keeps the absolute eval cadence
         # early stopping is active only for Poisson/AC 2D with tol > 0
         # (code/model_GP_solver_2d.py:327-332); otherwise fuse the whole run
         stop_active = self.eq_type != "advection" \
@@ -275,22 +278,24 @@ class Solver2D:
             from gphm_tpu.models.base import fused_train
             return fused_train(solver=self, nepoch=nepoch, verbose=verbose,
                                on_eval=on_eval)
+        params = init_state[0] if init_state else self.init_params()
         state = TrainState(
-            params=self.init_params(),
-            opt_state=None,
+            params=params,
+            opt_state=(init_state[1] if init_state
+                       else self.optimizer.init(params)),
             run_chunk=make_chunk_runner(self._loss, self.optimizer),
             eval_fn=self.eval_err,
             criterion_fn=self.criterion,
             param_log_fn=jax.jit(self.param_log),
         )
-        state.opt_state = self.optimizer.init(state.params)
         # early stopping: active for Poisson/AC when tol > 0
         # (code/model_GP_solver_2d.py:327-332); the advection reference has it
         # commented out (code/model_GP_solver_advection.py:322-328)
-        mode = "off" if self.eq_type == "advection" else "tol"
+        stop_mode = "off" if self.eq_type == "advection" else "tol"
         return chunked_train(
             state=state, nepoch=nepoch,
             tol=float(self.config.get("tol", -1.0)),
-            early_stop_mode=mode,
+            early_stop_mode=stop_mode,
             on_eval=on_eval, on_checkpoint=on_checkpoint,
-            nan_policy=nan_policy, verbose=verbose)
+            nan_policy=nan_policy, start_epoch=start_epoch,
+            verbose=verbose)

@@ -81,3 +81,34 @@ def test_nan_policy_raise():
     with pytest.raises(FloatingPointError):
         solver.train(nepoch=40, verbose=False, mode="chunked",
                      nan_policy="raise")
+
+
+def test_resume_equals_uninterrupted():
+    """Crash-resume from a rolling checkpoint continues the exact
+    trajectory: train 40 epochs straight vs 20 + resume for the rest."""
+    prob = make_problem("poisson_1d-single_sin", N_col=32, scale=2 * np.pi)
+    solver = Solver1D(prob, "Matern52_Cos_1d", CFG, POLICY)
+
+    full = solver.train(nepoch=40, verbose=False, mode="chunked")
+
+    saved = {}
+
+    def capture(epoch, params, opt_state):
+        if epoch <= 19:
+            saved["state"] = (jax.tree_util.tree_map(jnp.copy, params),
+                              jax.tree_util.tree_map(jnp.copy, opt_state))
+            saved["epoch"] = epoch
+
+    solver.train(nepoch=40, verbose=False, mode="chunked",
+                 on_checkpoint=capture)
+    assert saved["epoch"] == 18  # last eval at or below epoch 19
+
+    resumed = solver.train(nepoch=40, verbose=False,
+                           init_state=saved["state"],
+                           start_epoch=saved["epoch"] + 1)
+    np.testing.assert_allclose(np.asarray(resumed.params["u"]),
+                               np.asarray(full.params["u"]),
+                               rtol=1e-12, atol=1e-15)
+    # resumed log covers exactly the remaining eval points
+    assert resumed.log["epoch_list"][0] > saved["epoch"]
+    assert resumed.log["epoch_list"][-1] == full.log["epoch_list"][-1]
