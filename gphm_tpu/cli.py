@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="result_log",
                    help="artifact directory (use '' to disable)")
     p.add_argument("--no-figures", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="continue fold 0 from the run's rolling checkpoint")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -64,7 +66,8 @@ def main(argv=None) -> int:
     from gphm_tpu.experiment import run_experiment
     res = run_experiment(config, out_base=args.out or None,
                          verbose=not args.quiet,
-                         figures=not args.no_figures)
+                         figures=not args.no_figures,
+                         resume=args.resume)
     print(f"err mean {res.err_mean:.6g} +- {res.err_std:.3g}  "
           f"time {res.used_time:.2f}s")
     return 0

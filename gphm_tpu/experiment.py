@@ -62,7 +62,8 @@ class ExperimentResult:
 
 def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                    verbose: bool = True, figures: bool = True,
-                   nepoch: Optional[int] = None) -> ExperimentResult:
+                   nepoch: Optional[int] = None,
+                   resume: bool = False) -> ExperimentResult:
     nepoch = nepoch or config.nepoch
     solver = make_solver(config)
 
@@ -77,7 +78,7 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
     for fold in range(config.num_fold):
         metrics = MetricsLogger(
             os.path.join(directory, f"metrics_fold{fold}.jsonl")
-            if directory else None)
+            if directory else None, append=resume)
 
         def on_eval(epoch, err, loss):
             metrics.log(fold=fold, epoch=epoch, rel_l2=err, loss=loss)
@@ -93,11 +94,33 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                                 meta={"epoch": epoch,
                                       **dataclasses.asdict(config)})
 
+        # crash resume: pick up fold 0 from the rolling checkpoint
+        # (reference has no resume at all; SURVEY §5)
+        resume_kw = {}
+        if resume and fold == 0 and directory:
+            latest = os.path.join(directory, "latest.npz")
+            if os.path.exists(latest):
+                from gphm_tpu.utils.checkpoint import (load_checkpoint,
+                                                       load_meta)
+                if config.family == "1d_extra":
+                    raise NotImplementedError(
+                        "resume across the two-GP phase switch is not "
+                        "supported; rerun from scratch")
+                tmpl_p = solver.init_params()
+                tmpl = (tmpl_p, solver.optimizer.init(tmpl_p))
+                state = load_checkpoint(latest, tmpl)
+                epoch_done = int(load_meta(latest)["meta"]["epoch"])
+                resume_kw = dict(init_state=state,
+                                 start_epoch=epoch_done + 1)
+                if verbose:
+                    print(f"resuming from epoch {epoch_done + 1}")
+
         if verbose:
             print(f"fold {fold}: {config.equation} / {config.kernel} "
                   f"({nepoch} epochs)")
         res = solver.train(nepoch, seed=fold, verbose=verbose,
-                           on_eval=on_eval, on_checkpoint=on_checkpoint)
+                           on_eval=on_eval, on_checkpoint=on_checkpoint,
+                           **resume_kw)
         err_list.append(res.min_err)
         stop_epochs.append(res.early_stopping["epoch"])
         fold_results.append(res)

@@ -20,13 +20,13 @@ from typing import Optional
 
 
 class MetricsLogger:
-    def __init__(self, path: Optional[str]):
+    def __init__(self, path: Optional[str], append: bool = False):
         self.path = path
         self._t0 = time.time()
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            # truncate: one file per run
-            open(path, "w").close()
+            if not append:   # one file per run; resumed runs append
+                open(path, "w").close()
 
     def log(self, **record):
         record.setdefault("wall_s", time.time() - self._t0)
