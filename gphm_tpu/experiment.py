@@ -14,6 +14,7 @@ import os
 import time
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,6 +29,10 @@ from gphm_tpu.utils.logging import MetricsLogger, append_text_log
 
 
 def _policy_for(config: RunConfig) -> Policy:
+    if config.dtype == "float64" and not jax.config.jax_enable_x64:
+        # without x64, jnp silently downcasts float64 arrays to float32 —
+        # a run configured as f64 would quietly execute in f32
+        jax.config.update("jax_enable_x64", True)
     return Policy(dtype=jnp.dtype(config.dtype), jitter=config.jitter)
 
 

@@ -123,3 +123,13 @@ def test_cli_rejects_extra_on_2d():
     rc = main(["--equation", "poisson_2d-sin_sin", "--extra",
                "--nepoch", "10"])
     assert rc == 2
+
+
+def test_float64_config_actually_runs_float64():
+    """--dtype float64 must enable x64 (without it jnp silently downcasts
+    to float32 and the run executes in the wrong precision)."""
+    cfg = load_config("poisson_1d-single_sin", dtype="float64", N_col=16,
+                      Q=3)
+    solver = make_solver(cfg)
+    assert solver.init_params()["u"].dtype == jnp.float64
+    assert solver.X_col.dtype == jnp.float64

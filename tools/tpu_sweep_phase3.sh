@@ -26,6 +26,12 @@ run "x2_add_sinx extra f64" python -m gphm_tpu.cli \
 run "x_time_sinx f64" python -m gphm_tpu.cli \
   --equation poisson_1d-x_time_sinx --nepoch 100000 \
   --dtype float64 --quiet --out result_log_f64
+run "poisson_2d-sin_add_cos f64" python -m gphm_tpu.cli \
+  --equation poisson_2d-sin_add_cos --nepoch 1000000 \
+  --dtype float64 --quiet --out result_log_f64
+run "advection f64" python -m gphm_tpu.cli \
+  --equation advection-sin --nepoch 200000 \
+  --dtype float64 --quiet --out result_log_f64
 run "poisson_2d-sin_cos f32" python -m gphm_tpu.cli \
   --equation poisson_2d-sin_cos --nepoch 100000 --dtype float32 --quiet
 run "largegrid 512" python tools/bench_largegrid.py 512 100
