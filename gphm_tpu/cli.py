@@ -38,8 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--Q", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--dtype", default=None,
-                   choices=["float32", "float64"],
-                   help="float32 = TPU production, float64 = validation")
+                   choices=["float32", "float64", "mixed"],
+                   help="float32 = TPU production; float64 = validation; "
+                        "mixed = f32 Gram + f64 factorization/solves")
     p.add_argument("--num-fold", type=int, default=None, dest="num_fold")
     p.add_argument("--out", default="result_log",
                    help="artifact directory (use '' to disable)")

@@ -29,10 +29,15 @@ from gphm_tpu.utils.logging import MetricsLogger, append_text_log
 
 
 def _policy_for(config: RunConfig) -> Policy:
-    if config.dtype == "float64" and not jax.config.jax_enable_x64:
+    if config.dtype in ("float64", "mixed") and not jax.config.jax_enable_x64:
         # without x64, jnp silently downcasts float64 arrays to float32 —
         # a run configured as f64 would quietly execute in f32
         jax.config.update("jax_enable_x64", True)
+    if config.dtype == "mixed":
+        # f32 Gram/optimizer + f64 factorization/solves: targets configs
+        # where cond(K) approaches 1/eps_f32 during training
+        return Policy(dtype=jnp.float32, solve_dtype=jnp.float64,
+                      jitter=config.jitter)
     return Policy(dtype=jnp.dtype(config.dtype), jitter=config.jitter)
 
 

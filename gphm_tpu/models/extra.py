@@ -32,7 +32,7 @@ import optax
 from gphm_tpu.models.base import TrainResult, TrainState, chunked_train, \
     make_chunk_runner
 from gphm_tpu.models.solver_1d import Solver1D
-from gphm_tpu.ops.chol import robust_cholesky
+from gphm_tpu.ops.chol import policy_cholesky
 from gphm_tpu.ops.kernels import get_kernel
 from gphm_tpu.precision import Policy
 from gphm_tpu.problems.equations import Problem1D
@@ -56,8 +56,7 @@ class Solver1DExtra(Solver1D):
         else:
             K = self.kernel_extra.kappa(self.tau, kernel_paras)
             K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
-        return robust_cholesky(K, self.jitter, self.policy.jitter_growth,
-                               self.policy.max_jitter_tries)
+        return policy_cholesky(K, self.policy)
 
     def _d2_extra(self, kernel_paras):
         if self.toeplitz:

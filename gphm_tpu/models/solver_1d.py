@@ -29,7 +29,7 @@ import numpy as np
 
 from gphm_tpu.models.base import TrainResult, TrainState, chunked_train, \
     make_chunk_runner
-from gphm_tpu.ops.chol import robust_cholesky
+from gphm_tpu.ops.chol import policy_cholesky, robust_cholesky
 from gphm_tpu.ops.kernels import StationaryKernel, get_kernel, \
     init_mixture_params
 from gphm_tpu.precision import Policy, default_policy
@@ -129,8 +129,7 @@ class Solver1D:
         else:
             K = self.kernel.kappa(self.tau, kernel_paras)
             K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
-        return robust_cholesky(K, self.jitter, self.policy.jitter_growth,
-                               self.policy.max_jitter_tries)
+        return policy_cholesky(K, self.policy)
 
     def _u_xx(self, kernel_paras, alpha):
         K_dxx = self.kernel.d2(self.tau, kernel_paras)
@@ -148,8 +147,7 @@ class Solver1D:
     def gaps(self, params):
         u = params["u"]
         K, Kd = self._K_and_Kd(params["kernel_paras"])
-        F = robust_cholesky(K, self.jitter, self.policy.jitter_growth,
-                            self.policy.max_jitter_tries)
+        F = policy_cholesky(K, self.policy)
         alpha = F.solve(u)
         u_xx = Kd @ alpha
         boundary_gap = jnp.sum(

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from gphm_tpu.models.base import TrainResult, TrainState, chunked_train, \
     make_chunk_runner
-from gphm_tpu.ops.chol import robust_cholesky
+from gphm_tpu.ops.chol import policy_cholesky, robust_cholesky
 from gphm_tpu.ops.kernels import StationaryKernel, get_kernel, \
     init_mixture_params
 from gphm_tpu.precision import Policy, default_policy
@@ -145,9 +145,8 @@ class Solver2D:
         if self.solve_mode == "cg":
             from gphm_tpu.ops.cg import psd_solve_cg
             return psd_solve_cg(K, B, self.cg_tol, self.cg_maxiter), None
-        F = robust_cholesky(K, self.jitter, self.policy.jitter_growth,
-                            self.policy.max_jitter_tries)
-        return F.solve(B), F.logdet()
+        F = policy_cholesky(K, self.policy)
+        return F.solve(B.astype(F.L.dtype)), F.logdet()
 
     def lifts(self, params):
         """Per-dimension solves and derivative lifts of U."""
@@ -162,9 +161,8 @@ class Solver2D:
             # sequential factorization latency of the step
             K = jnp.stack([K1, K2])
             B = jnp.stack([U, U.T])
-            F = robust_cholesky(K, self.jitter, self.policy.jitter_growth,
-                                self.policy.max_jitter_tries)
-            X = F.solve(B)
+            F = policy_cholesky(K, self.policy)
+            X = F.solve(B.astype(F.L.dtype))
             ld = F.logdet()
             K1inv_U, K2inv_Ut = X[0], X[1]
             ld1, ld2 = ld[0], ld[1]

@@ -86,6 +86,16 @@ def robust_cholesky(K, base_jitter: float = 1e-6, growth: float = 100.0,
     return SPDFactor(L=L, jitter_used=extra)
 
 
+def policy_cholesky(K, policy) -> SPDFactor:
+    """robust_cholesky under a precision policy: factorizes in
+    ``policy.solve_dtype`` when set (mixed precision), else in K's dtype.
+    Callers cast solve results back with ``SPDFactor.L.dtype`` vs params."""
+    if policy.solve_dtype is not None:
+        K = K.astype(policy.solve_dtype)
+    return robust_cholesky(K, policy.jitter, policy.jitter_growth,
+                           policy.max_jitter_tries)
+
+
 def spd_factor(K, policy=None) -> SPDFactor:
     """Factor K (which already carries base jitter) under a precision policy."""
     if policy is None:

@@ -25,6 +25,12 @@ class Policy:
     """Compute/solve dtype policy threaded through kernels, solvers, linalg."""
 
     dtype: Any = jnp.float32
+    # When set (e.g. float64 with dtype float32 = "mixed" mode), Cholesky
+    # factorizations, triangular solves, and log-determinants run in this
+    # wider dtype while Gram construction and the optimizer stay in `dtype`.
+    # Targets the f32 failure mode where cond(K) ~ 1/jitter ~ 1e6 makes the
+    # f32 solve error O(10%) while the Gram entries themselves are benign.
+    solve_dtype: Any = None
     # jax.lax matmul precision for f32 on the MXU ('highest' = full f32 via
     # multi-pass bf16; essential for Gram/solve accuracy at N in the hundreds).
     matmul_precision: str = "highest"

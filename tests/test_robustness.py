@@ -137,3 +137,26 @@ def test_experiment_resume_from_latest(tmp_path):
     # resuming after the final checkpoint (epoch 38) trains only the last
     # eval-free tail; err must be finite and params valid
     assert np.isfinite(res_b.err_mean) or res_b.err_mean == 2.0
+
+
+def test_mixed_precision_policy():
+    """mixed mode: f32 params/Gram, f64 factorization — loss close to the
+    full-f64 value even when plain f32 drifts."""
+    from gphm_tpu.experiment import make_solver
+
+    cfg64 = load_config("poisson_1d-single_sin", dtype="float64", N_col=48,
+                        Q=4)
+    cfgmx = load_config("poisson_1d-single_sin", dtype="mixed", N_col=48,
+                        Q=4)
+    s64 = make_solver(cfg64)
+    smx = make_solver(cfgmx)
+    assert smx.policy.dtype == jnp.float32
+    assert smx.policy.solve_dtype == jnp.float64
+    p64 = s64.init_params()
+    pmx = smx.init_params()
+    assert pmx["u"].dtype == jnp.float32
+    l64 = float(s64.loss(p64))
+    lmx = float(smx.loss(pmx))
+    np.testing.assert_allclose(lmx, l64, rtol=1e-4)
+    res = smx.train(nepoch=40, verbose=False, mode="chunked")
+    assert np.isfinite(res.min_err)
