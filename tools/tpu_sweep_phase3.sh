@@ -1,10 +1,7 @@
 #!/bin/bash
-# Phase 3: diagnostics + completeness + scale tier.
-#  - x2_add_sinx extra in f64 (same wall speed as f32 on this chip) to see
-#    whether the 0.52 plateau is precision-related
-#  - x_time_sinx in f64 (weakest 1D f32 result, 6.1e-3)
-#  - poisson_2d-sin_cos (whitelisted equation the reference ships no yaml for)
-#  - 512^2 large-grid benchmark (dense Kronecker vs CG)
+# Phase 3: precision diagnostics + completeness + scale tier.
+# Quick probes first (is the advection / sin_add_cos failure a precision
+# artifact?), long f64 reruns last.
 LOG=${1:-/tmp/sweep3.log}
 cd "$(dirname "$0")/.."
 
@@ -20,19 +17,25 @@ run() {
   done
 }
 
-run "x2_add_sinx extra f64" python -m gphm_tpu.cli \
-  --equation poisson_1d-x2_add_sinx --nepoch 1000000 --extra \
-  --dtype float64 --quiet --out result_log_f64
-run "x_time_sinx f64" python -m gphm_tpu.cli \
-  --equation poisson_1d-x_time_sinx --nepoch 100000 \
-  --dtype float64 --quiet --out result_log_f64
-run "poisson_2d-sin_add_cos f64" python -m gphm_tpu.cli \
-  --equation poisson_2d-sin_add_cos --nepoch 1000000 \
-  --dtype float64 --quiet --out result_log_f64
-run "advection f64" python -m gphm_tpu.cli \
+# -- quick diagnostics ------------------------------------------------------
+run "advection mixed 2e5" python -m gphm_tpu.cli \
+  --equation advection-sin --nepoch 200000 \
+  --dtype mixed --quiet --out result_log_mixed
+run "advection f64 2e5" python -m gphm_tpu.cli \
   --equation advection-sin --nepoch 200000 \
   --dtype float64 --quiet --out result_log_f64
-run "poisson_2d-sin_cos f32" python -m gphm_tpu.cli \
-  --equation poisson_2d-sin_cos --nepoch 100000 --dtype float32 --quiet
 run "largegrid 512" python tools/bench_largegrid.py 512 100
+run "poisson_2d-sin_cos f32 1e5" python -m gphm_tpu.cli \
+  --equation poisson_2d-sin_cos --nepoch 100000 --dtype float32 --quiet
+
+# -- f64/mixed reruns of the weak f32 results --------------------------------
+run "x_time_sinx f64 1e5" python -m gphm_tpu.cli \
+  --equation poisson_1d-x_time_sinx --nepoch 100000 \
+  --dtype float64 --quiet --out result_log_f64
+run "sin_add_cos mixed 1e6" python -m gphm_tpu.cli \
+  --equation poisson_2d-sin_add_cos --nepoch 1000000 \
+  --dtype mixed --quiet --out result_log_mixed
+run "x2_add_sinx extra mixed 1e6" python -m gphm_tpu.cli \
+  --equation poisson_1d-x2_add_sinx --nepoch 1000000 --extra \
+  --dtype mixed --quiet --out result_log_mixed
 echo "SWEEP-PHASE3-DONE $(date +%H:%M:%S)" >> "$LOG"
