@@ -29,7 +29,7 @@ import numpy as np
 
 from gphm_tpu.models.base import TrainResult, TrainState, chunked_train, \
     make_chunk_runner
-from gphm_tpu.ops.chol import policy_cholesky, robust_cholesky
+from gphm_tpu.ops.chol import policy_cholesky
 from gphm_tpu.ops.kernels import StationaryKernel, get_kernel, \
     init_mixture_params
 from gphm_tpu.precision import Policy, default_policy
