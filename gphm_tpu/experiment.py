@@ -37,8 +37,10 @@ def _policy_for(config: RunConfig) -> Policy:
         # f32 Gram/optimizer + f64 factorization/solves: targets configs
         # where cond(K) approaches 1/eps_f32 during training
         return Policy(dtype=jnp.float32, solve_dtype=jnp.float64,
-                      jitter=config.jitter)
-    return Policy(dtype=jnp.dtype(config.dtype), jitter=config.jitter)
+                      jitter=config.jitter,
+                      max_jitter_tries=config.jitter_retries)
+    return Policy(dtype=jnp.dtype(config.dtype), jitter=config.jitter,
+                  max_jitter_tries=config.jitter_retries)
 
 
 def make_solver(config: RunConfig, policy: Optional[Policy] = None):

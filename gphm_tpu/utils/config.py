@@ -54,8 +54,9 @@ class RunConfig:
     jitter: float = 1e-6
     other_paras: str = ""
     # TPU-native extensions (not in the reference schema)
-    dtype: str = "float64"        # "float32" on TPU production runs
+    dtype: str = "float64"        # "float32" / "mixed" on TPU production
     solve: str = "cholesky"       # or "cg" for the large-grid path
+    jitter_retries: int = 3       # Cholesky jitter-escalation probe depth
 
     @property
     def family(self) -> str:
