@@ -29,10 +29,16 @@ from gphm_tpu.utils.logging import MetricsLogger, append_text_log
 
 
 def _policy_for(config: RunConfig) -> Policy:
-    if config.dtype in ("float64", "mixed") and not jax.config.jax_enable_x64:
-        # without x64, jnp silently downcasts float64 arrays to float32 —
-        # a run configured as f64 would quietly execute in f32
-        jax.config.update("jax_enable_x64", True)
+    if not jax.config.jax_enable_x64:
+        # x64 must be live for every run: float64 configs would otherwise
+        # silently downcast to f32, and f32 runs use f64 for the
+        # prediction-time solves (see Solver1D.__init__). Training arrays
+        # keep the policy dtype via explicit casts throughout.
+        try:
+            jax.config.update("jax_enable_x64", True)
+        except Exception as e:  # backend already used with x32 literals
+            print(f"warning: could not enable x64 ({e}); f32 runs will "
+                  f"evaluate predictions in f32")
     if config.dtype == "mixed":
         # f32 Gram/optimizer + f64 factorization/solves: targets configs
         # where cond(K) approaches 1/eps_f32 during training

@@ -48,7 +48,7 @@ class Solver1DExtra(Solver1D):
         self.optimizer_extra = optax.adam(learning_rate=config["lr"])
 
     # ------------------------------------------------------------------
-    def _factor_extra(self, kernel_paras):
+    def _factor_extra(self, kernel_paras, solve_dtype=None):
         if self.toeplitz:
             from gphm_tpu.ops.gram import toeplitz_gram
             K = toeplitz_gram(self.kernel_extra, self.lags, self.lag_idx,
@@ -56,6 +56,8 @@ class Solver1DExtra(Solver1D):
         else:
             K = self.kernel_extra.kappa(self.tau, kernel_paras)
             K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
+        if solve_dtype is not None:
+            K = K.astype(solve_dtype)
         return policy_cholesky(K, self.policy)
 
     def _d2_extra(self, kernel_paras):
@@ -108,8 +110,8 @@ class Solver1DExtra(Solver1D):
         def predict_extra(params_extra):
             u_extra = params_extra["u"].sum(axis=1).reshape(-1, 1)
             kp = params_extra["kernel_paras"]
-            F = self._factor_extra(kp)
-            alpha = F.solve(u_extra)
+            F = self._factor_extra(kp, solve_dtype=self.eval_solve_dtype)
+            alpha = F.solve(u_extra.astype(F.L.dtype))
             Kmn = self.kernel_extra.kappa(self.tau_test, kp)
             return preds_base + (Kmn @ alpha).reshape(-1)
 

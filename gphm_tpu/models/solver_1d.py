@@ -78,6 +78,16 @@ class Solver1D:
         self.eq_type = problem.eq_type
         self.use_pallas = self._resolve_pallas(config)
 
+        # Posterior-mean prediction solves always run in f64 when x64 is
+        # live: with f32-trained kernels the predict-time K^-1 u can hit
+        # cond(K) ~ 1/eps_f32 and report garbage errors for a correctly
+        # trained model (observed on advection/sin_add_cos: training-time
+        # f32 evals said rel-L2 ~ 1.0 while the same checkpoints evaluate
+        # to 1e-3 in f64). Training stays in the policy dtype.
+        self.eval_solve_dtype = (self.policy.solve_dtype
+                                 or (jnp.float64
+                                     if jax.config.jax_enable_x64 else None))
+
         self.loss = jax.jit(self._loss)
         self.predict = jax.jit(self._predict)
         self.criterion = jax.jit(self._criterion)
@@ -121,7 +131,7 @@ class Solver1D:
         Kd = self.kernel.deriv(deriv)(self.tau, kernel_paras)
         return K, Kd
 
-    def _factor(self, kernel_paras):
+    def _factor(self, kernel_paras, solve_dtype=None):
         if self.toeplitz:
             from gphm_tpu.ops.gram import toeplitz_gram
             K = toeplitz_gram(self.kernel, self.lags, self.lag_idx,
@@ -129,6 +139,8 @@ class Solver1D:
         else:
             K = self.kernel.kappa(self.tau, kernel_paras)
             K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
+        if solve_dtype is not None:
+            K = K.astype(solve_dtype)
         return policy_cholesky(K, self.policy)
 
     def _u_xx(self, kernel_paras, alpha):
@@ -168,9 +180,11 @@ class Solver1D:
 
     def _predict(self, params, tau_test=None):
         """Posterior mean at test points: Kmn K^-1 u
-        (reference: code/model_GP_solver_1d.py:160-180)."""
-        F = self._factor(params["kernel_paras"])
-        alpha = F.solve(params["u"])
+        (reference: code/model_GP_solver_1d.py:160-180). The solve runs in
+        the widened eval dtype (see __init__)."""
+        F = self._factor(params["kernel_paras"],
+                         solve_dtype=self.eval_solve_dtype)
+        alpha = F.solve(params["u"].astype(F.L.dtype))
         t = self.tau_test if tau_test is None else tau_test
         Kmn = self.kernel.kappa(t, params["kernel_paras"])
         return (Kmn @ alpha).reshape(-1)

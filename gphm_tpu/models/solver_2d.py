@@ -109,6 +109,13 @@ class Solver2D:
                 "path has no Cholesky factor to take the log-determinant "
                 "from (set logdet: false in the config)")
 
+        # predict-time solves are widened to f64 when x64 is live (see
+        # Solver1D.__init__: f32 predict solves can misreport a correctly
+        # trained model)
+        self.eval_solve_dtype = (self.policy.solve_dtype
+                                 or (jnp.float64
+                                     if jax.config.jax_enable_x64 else None))
+
         self.loss = jax.jit(self._loss)
         self.predict = jax.jit(self._predict)
         self.criterion = jax.jit(self._criterion)
@@ -214,15 +221,21 @@ class Solver2D:
 
     def _predict(self, params):
         """Per-dimension cross-kernel posterior mean
-        (reference: code/model_GP_solver_2d.py:185-220)."""
+        (reference: code/model_GP_solver_2d.py:185-220), solves widened to
+        the eval dtype."""
+        sd = self.eval_solve_dtype
         kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
         K1 = self.kernel.kappa(self.tau1, kp1) \
             + self.jitter * jnp.eye(self.N1, dtype=self.policy.dtype)
+        if sd is not None:
+            K1 = K1.astype(sd)
         M1 = self.kernel.kappa(self.tau1_test, kp1) \
-            @ self._psd_solve(K1, params["U"])[0]
+            @ self._psd_solve(K1, params["U"].astype(K1.dtype))[0]
         K2 = self.kernel.kappa(self.tau2, kp2) \
             + self.jitter * jnp.eye(self.N2, dtype=self.policy.dtype)
-        M2 = self._psd_solve(K2, M1.T)[0]
+        if sd is not None:
+            K2 = K2.astype(sd)
+        M2 = self._psd_solve(K2, M1.T.astype(K2.dtype))[0]
         return (self.kernel.kappa(self.tau2_test, kp2) @ M2).T
 
     def _eval_err(self, params):

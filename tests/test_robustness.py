@@ -160,3 +160,25 @@ def test_mixed_precision_policy():
     np.testing.assert_allclose(lmx, l64, rtol=1e-4)
     res = smx.train(nepoch=40, verbose=False, mode="chunked")
     assert np.isfinite(res.min_err)
+
+
+def test_f32_eval_matches_f64_eval():
+    """Prediction-time solves are widened: an f32 solver must report the
+    same error as an f64 solver given numerically identical parameters."""
+    from gphm_tpu.experiment import make_solver
+
+    cfg32 = load_config("poisson_1d-single_sin", dtype="float32", N_col=48,
+                        Q=4)
+    cfg64 = load_config("poisson_1d-single_sin", dtype="float64", N_col=48,
+                        Q=4)
+    s32, s64 = make_solver(cfg32), make_solver(cfg64)
+    assert s32.eval_solve_dtype == jnp.float64
+    p64 = s64.init_params()
+    res64 = s64.train(nepoch=40, verbose=False, mode="chunked")
+    # evaluate the f64-trained params through the f32 solver's eval path
+    p32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x,
+        res64.params)
+    e32 = float(s32.eval_err(p32))
+    e64 = float(s64.eval_err(res64.params))
+    np.testing.assert_allclose(e32, e64, rtol=1e-3)

@@ -1,7 +1,7 @@
 #!/bin/bash
-# Phase 3: precision diagnostics + completeness + scale tier.
-# Quick probes first (is the advection / sin_add_cos failure a precision
-# artifact?), long f64 reruns last.
+# Phase 3: re-run the configs whose phase-1/2 numbers were corrupted by
+# f32 prediction-time solves (training was correct; evaluations misreported
+# — fixed by widening eval solves to f64), plus completeness + scale tier.
 LOG=${1:-/tmp/sweep3.log}
 cd "$(dirname "$0")/.."
 
@@ -17,25 +17,16 @@ run() {
   done
 }
 
-# -- quick diagnostics ------------------------------------------------------
-run "advection mixed 2e5" python -m gphm_tpu.cli \
-  --equation advection-sin --nepoch 200000 \
-  --dtype mixed --quiet --out result_log_mixed
-run "advection f64 2e5" python -m gphm_tpu.cli \
-  --equation advection-sin --nepoch 200000 \
-  --dtype float64 --quiet --out result_log_f64
+run "advection f32 2e5 (honest evals)" python -m gphm_tpu.cli \
+  --equation advection-sin --nepoch 200000 --dtype float32 --quiet
+run "x_time_sinx f32 1e5 (honest evals)" python -m gphm_tpu.cli \
+  --equation poisson_1d-x_time_sinx --nepoch 100000 --dtype float32 --quiet
 run "largegrid 512" python tools/bench_largegrid.py 512 100
 run "poisson_2d-sin_cos f32 1e5" python -m gphm_tpu.cli \
   --equation poisson_2d-sin_cos --nepoch 100000 --dtype float32 --quiet
-
-# -- f64/mixed reruns of the weak f32 results --------------------------------
-run "x_time_sinx f64 1e5" python -m gphm_tpu.cli \
-  --equation poisson_1d-x_time_sinx --nepoch 100000 \
-  --dtype float64 --quiet --out result_log_f64
-run "sin_add_cos mixed 1e6" python -m gphm_tpu.cli \
-  --equation poisson_2d-sin_add_cos --nepoch 1000000 \
-  --dtype mixed --quiet --out result_log_mixed
-run "x2_add_sinx extra mixed 1e6" python -m gphm_tpu.cli \
-  --equation poisson_1d-x2_add_sinx --nepoch 1000000 --extra \
-  --dtype mixed --quiet --out result_log_mixed
+run "sin_add_cos f32 1e6 (honest evals)" python -m gphm_tpu.cli \
+  --equation poisson_2d-sin_add_cos --nepoch 1000000 --dtype float32 --quiet
+run "x2_add_sinx extra f32 1e6 (honest evals + early stop)" \
+  python -m gphm_tpu.cli --equation poisson_1d-x2_add_sinx \
+  --nepoch 1000000 --extra --dtype float32 --quiet
 echo "SWEEP-PHASE3-DONE $(date +%H:%M:%S)" >> "$LOG"
