@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--extra", action="store_true",
                    help="two-GP residual trick (1D only)")
     p.add_argument("--kernel-extra", default="Matern52_1d", choices=KERNELS)
+    p.add_argument("--change-point", type=float, default=None,
+                   dest="change_point",
+                   help="two-GP phase-switch fraction (extra runs only)")
     p.add_argument("--N-col", type=int, default=None, dest="N_col")
     p.add_argument("--Q", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
@@ -55,7 +58,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     overrides = dict(nepoch=args.nepoch, N_col=args.N_col, Q=args.Q,
                      lr=args.lr, dtype=args.dtype, num_fold=args.num_fold,
-                     kernel=args.kernel)
+                     kernel=args.kernel, change_point=args.change_point)
     if args.extra:
         if args.equation not in EQUATIONS_1D:
             print("--extra is only supported for 1D equations",

@@ -29,4 +29,8 @@ run "sin_add_cos f32 1e6 (honest evals)" python -m gphm_tpu.cli \
 run "x2_add_sinx extra f32 1e6 (honest evals + early stop)" \
   python -m gphm_tpu.cli --equation poisson_1d-x2_add_sinx \
   --nepoch 1000000 --extra --dtype float32 --quiet
+run "x2_add_sinx extra cp=0.5 (base GP gets 500k epochs)" \
+  python -m gphm_tpu.cli --equation poisson_1d-x2_add_sinx \
+  --nepoch 1000000 --extra --change-point 0.5 --dtype float32 --quiet \
+  --out result_log_cp05
 echo "SWEEP-PHASE3-DONE $(date +%H:%M:%S)" >> "$LOG"
