@@ -326,8 +326,7 @@ def chunked_train(
                        f"loss={loss_f}, rel-L2={err}")
                 if nan_policy == "raise":
                     raise FloatingPointError(msg)
-                if verbose:
-                    print("WARNING:", msg)
+                print("WARNING:", msg)  # surfaced even in quiet runs
 
             stop = False
             if early_stop_mode == "tol":

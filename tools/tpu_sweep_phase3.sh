@@ -33,4 +33,7 @@ run "x2_add_sinx extra cp=0.5 (base GP gets 500k epochs)" \
   python -m gphm_tpu.cli --equation poisson_1d-x2_add_sinx \
   --nepoch 1000000 --extra --change-point 0.5 --dtype float32 --quiet \
   --out result_log_cp05
+run "allencahn_2d mixed 3e6 (f32 diverged to NaN at ~500k)" \
+  python -m gphm_tpu.cli --equation allencahn_2d-mix-sincos \
+  --nepoch 3000000 --dtype mixed --quiet
 echo "SWEEP-PHASE3-DONE $(date +%H:%M:%S)" >> "$LOG"
