@@ -12,8 +12,11 @@ and writes one summary line per mode. Usage:
     python tools/bench_largegrid.py [N] [steps]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
