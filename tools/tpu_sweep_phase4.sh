@@ -23,4 +23,7 @@ run "x_time_sinx mixed 1e5" python -m gphm_tpu.cli \
   --dtype mixed --quiet --out result_log_mixed
 run "poisson_2d-sin_cos f32 1e6" python -m gphm_tpu.cli \
   --equation poisson_2d-sin_cos --nepoch 1000000 --dtype float32 --quiet
+run "x2_add_sinx extra mixed 1e6" python -m gphm_tpu.cli \
+  --equation poisson_1d-x2_add_sinx --nepoch 1000000 --extra \
+  --dtype mixed --quiet --out result_log_mixed
 echo "SWEEP-PHASE4-DONE $(date +%H:%M:%S)" >> "$LOG"
