@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--change-point", type=float, default=None,
                    dest="change_point",
                    help="two-GP phase-switch fraction (extra runs only)")
+    p.add_argument("--jitter", type=float, default=None,
+                   help="base diagonal jitter (reference default 1e-6; "
+                        "raise to 1e-5 for f32 stability on stiff configs)")
     p.add_argument("--N-col", type=int, default=None, dest="N_col")
     p.add_argument("--Q", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
@@ -58,7 +61,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     overrides = dict(nepoch=args.nepoch, N_col=args.N_col, Q=args.Q,
                      lr=args.lr, dtype=args.dtype, num_fold=args.num_fold,
-                     kernel=args.kernel, change_point=args.change_point)
+                     kernel=args.kernel, change_point=args.change_point,
+                     jitter=args.jitter)
     if args.extra:
         if args.equation not in EQUATIONS_1D:
             print("--extra is only supported for 1D equations",
