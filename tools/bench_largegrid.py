@@ -41,14 +41,15 @@ def main():
     prob = make_problem("poisson_2d-sin_sin", N_col=N, scale=2 * np.pi,
                         dtype=jnp.float32)
 
-    # mixed precision (f32 Gram + f64 solves): at this scale the f32 solve
-    # path is the numerical bottleneck, not the throughput bottleneck
-    policy = Policy(dtype=jnp.float32, solve_dtype=jnp.float64)
+    # f32 with raised jitter: f64 factorizations inside scanned hot loops
+    # crash the current axon TPU backend, and jitter 1e-5 is the measured
+    # on-device stability lever (see PARITY.md numerics notes)
+    policy = Policy(dtype=jnp.float32, jitter=1e-5)
     for mode in ("cg", "cholesky"):
         try:
             cfg = dict(Q=30, lr=0.01, llk_weight=200.0, logdet=False,
-                       tol=-1.0, freq_scale=20.0, jitter=1e-6, solve=mode,
-                       cg_tol=1e-8, cg_maxiter=600)
+                       tol=-1.0, freq_scale=20.0, jitter=1e-5, solve=mode,
+                       cg_tol=1e-6, cg_maxiter=600)
             solver = Solver2D(prob, "Matern52_Cos_1d", cfg, policy)
             rc = make_chunk_runner(solver._loss, solver.optimizer)
             p = solver.init_params()
