@@ -161,11 +161,12 @@ class Solver2D:
         kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
         K1, Kd1 = self._K_and_Kd(self.x_col, self.tau1, kp1)
         K2, Kd2 = self._K_and_Kd(self.y_col, self.tau2, kp2)
-        if self.N1 == self.N2 and self.solve_mode == "cholesky":
-            # square grids (all shipped configs): stack the two per-dim
-            # factorizations into ONE batched Cholesky + batched triangular
-            # solves — XLA parallelizes over the batch, halving the
-            # sequential factorization latency of the step
+        if self.N1 == self.N2 and self.solve_mode == "cholesky" \
+                and self.config.get("batched_chol", False):
+            # optional: stack the two per-dim factorizations into one batched
+            # Cholesky. Measured ~8% SLOWER than two independent factors on
+            # TPU v5e (XLA does not parallelize the chol batch), so off by
+            # default; kept as a config toggle for other backends
             K = jnp.stack([K1, K2])
             B = jnp.stack([U, U.T])
             F = policy_cholesky(K, self.policy)
