@@ -45,7 +45,7 @@ class Solver1D:
         self.kernel: StationaryKernel = (
             get_kernel(kernel) if isinstance(kernel, str) else kernel)
         self.config = dict(config)
-        self.policy = policy or default_policy()
+        self.policy = (policy or default_policy()).activate()
         p = self.policy
 
         self.X_col = jnp.asarray(problem.X_col, p.dtype)
@@ -64,7 +64,11 @@ class Solver1D:
         # Gram build needs only the 2N-1 distinct lags — O(NQ) instead of
         # O(N^2 Q) transcendentals per matrix
         from gphm_tpu.ops.gram import toeplitz_lags, uniform_spacing
-        h = uniform_spacing(self.X_col) \
+        # detect uniformity on the authoritative f64 grid: diffs of the
+        # f32-cast grid vary at ~N*eps(f32) and would defeat the fast path
+        x_detect = (problem.X_col64 if getattr(problem, "X_col64", None)
+                    is not None else self.X_col)
+        h = uniform_spacing(x_detect) \
             if config.get("toeplitz", True) else None
         self.toeplitz = h is not None
         if self.toeplitz:

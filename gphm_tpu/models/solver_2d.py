@@ -47,7 +47,7 @@ class Solver2D:
         self.kernel: StationaryKernel = (
             get_kernel(kernel) if isinstance(kernel, str) else kernel)
         self.config = dict(config)
-        self.policy = policy or default_policy()
+        self.policy = (policy or default_policy()).activate()
         p = self.policy
 
         self.x_col = jnp.asarray(problem.x_col, p.dtype)
@@ -72,8 +72,13 @@ class Solver2D:
         # configs); see Solver1D
         from gphm_tpu.ops.gram import toeplitz_lags, uniform_spacing
         use_toe = config.get("toeplitz", True)
-        h1 = uniform_spacing(self.x_col) if use_toe else None
-        h2 = uniform_spacing(self.y_col) if use_toe else None
+        # uniformity is detected on the authoritative f64 grids (see Solver1D)
+        x_detect = (problem.x_col64 if getattr(problem, "x_col64", None)
+                    is not None else self.x_col)
+        y_detect = (problem.y_col64 if getattr(problem, "y_col64", None)
+                    is not None else self.y_col)
+        h1 = uniform_spacing(x_detect) if use_toe else None
+        h2 = uniform_spacing(y_detect) if use_toe else None
         self.toeplitz = h1 is not None and h2 is not None
         if self.toeplitz:
             self.lags1, self.lag_idx1 = toeplitz_lags(self.N1, h1, p.dtype)

@@ -50,15 +50,26 @@ def cross_gram(kernel: StationaryKernel, x1, x2, params, *, deriv: int = 0):
 def uniform_spacing(x) -> float | None:
     """Grid spacing if x is (numerically) uniform, else None. Every shipped
     reference config collocates on np.linspace grids
-    (reference: code/model_GP_solver_1d.py:348, _2d.py:370-371)."""
+    (reference: code/model_GP_solver_1d.py:348, _2d.py:370-371).
+
+    The tolerance is dtype-aware: consecutive diffs of an f32-cast linspace
+    vary at up to ~N*eps(f32) relative to h, so a fixed f64-scale tolerance
+    silently disabled this path for every float32 production run (solvers
+    now pass the problem's authoritative float64 grid, making this a
+    fallback for user-supplied grids)."""
     import numpy as np
 
-    xh = np.asarray(x).reshape(-1)
+    xv = np.asarray(x)
+    xh = xv.astype(np.float64).reshape(-1)
     if xh.size < 2:
         return None
+    eps = (np.finfo(xv.dtype).eps
+           if np.issubdtype(xv.dtype, np.floating) else np.finfo(np.float64).eps)
     d = np.diff(xh)
     h = float(d.mean())
-    if np.allclose(d, h, rtol=1e-10, atol=1e-12):
+    # casting error of x_i is <= eps*|x_i|; a diff sees two of them
+    atol = 4.0 * xh.size * eps * max(np.abs(xh).max(), 1e-30)
+    if np.allclose(d, h, rtol=4.0 * eps, atol=atol) and abs(h) > 2 * atol:
         return h
     return None
 

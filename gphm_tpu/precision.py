@@ -47,6 +47,19 @@ class Policy:
             lambda a: jnp.asarray(a, self.dtype) if jnp.issubdtype(
                 jnp.asarray(a).dtype, jnp.floating) else jnp.asarray(a), x)
 
+    def activate(self) -> "Policy":
+        """Apply the process-level knobs the policy implies (idempotent).
+
+        Sets JAX's default matmul precision: without this, f32 `dot`s on the
+        MXU run at the backend default (bf16 passes), which silently degrades
+        the derivative lifts K_d @ K^-1 u, the Kronecker contractions, and
+        the triangular-solve blocks. Called by every solver constructor so
+        no entry point (CLI, bench, graft entry, tools) can skip it.
+        """
+        jax.config.update("jax_default_matmul_precision",
+                          self.matmul_precision)
+        return self
+
 
 def default_policy() -> Policy:
     """float64 when x64 is enabled (CPU validation), float32 otherwise (TPU)."""

@@ -112,7 +112,14 @@ def boundary_values_2d(U_grid):
 @dataclasses.dataclass(frozen=True)
 class Problem1D:
     """1D collocation problem: boundary = the two endpoints of X_col
-    (reference: code/model_GP_solver_1d.py:336-354)."""
+    (reference: code/model_GP_solver_1d.py:336-354).
+
+    ``X_col64``/``X_test64`` are the authoritative float64 numpy grids the
+    cast arrays were derived from. Solvers use them for uniform-spacing
+    detection (dtype-independent — the cast grid's diffs vary at ~N*eps and
+    defeated the Toeplitz fast path in f32), for exact Toeplitz lags, and
+    for the widened (f64 / two-float) evaluation and hot-loop Gram paths.
+    """
 
     equation: str
     eq_type: str
@@ -122,6 +129,8 @@ class Problem1D:
     src: jax.Array        # (N_col,)
     X_test: jax.Array     # (M,)
     u_test: jax.Array     # (M,)
+    X_col64: np.ndarray = None
+    X_test64: np.ndarray = None
 
     @property
     def solution(self) -> Callable:
@@ -142,25 +151,40 @@ class Problem2D:
     y_test: jax.Array     # (M,)
     u_test: jax.Array     # (M, M)
     beta: float = 0.0
+    x_col64: np.ndarray = None
+    y_col64: np.ndarray = None
+    x_test64: np.ndarray = None
+    y_test64: np.ndarray = None
 
 
 def make_problem(equation: str, N_col: int, scale: float, *, M: int = 300,
                  beta: float = 0.0, dtype=jnp.float64):
     """Build the test grid, collocation grid, boundary data, and autodiff
-    source for any registered equation (1D or 2D)."""
+    source for any registered equation (1D or 2D).
+
+    Grids, analytic solutions, and autodiff sources are always *computed* in
+    float64 (when x64 is live) and only then cast to ``dtype``: in f32 mode
+    the source term of a high-frequency solution (e.g. u_xx = -2.5e5 sin 500x)
+    would otherwise carry f32 trig argument-reduction noise into the data
+    itself. The float64 numpy grids ride along on the problem (``*_64``
+    fields) for the solvers' exact-lag / widened-eval paths.
+    """
     eq_type = equation.split("-")[0]
 
     if equation in EQUATIONS_1D:
         u = EQUATIONS_1D[equation]
-        X_test = jnp.asarray(np.linspace(0, 1, M) * scale, dtype)
-        X_col = jnp.asarray(np.linspace(0, 1, N_col) * scale, dtype)
+        X_test64 = np.linspace(0, 1, M) * scale
+        X_col64 = np.linspace(0, 1, N_col) * scale
+        Xc = jnp.asarray(X_col64)   # f64 when x64 is enabled
+        Xt = jnp.asarray(X_test64)
         bc_idx = jnp.array([0, N_col - 1])
         return Problem1D(
             equation=equation, eq_type=eq_type,
-            X_col=X_col, bc_idx=bc_idx,
-            bc_vals=jnp.stack([u(X_col[0]), u(X_col[-1])]).astype(dtype),
-            src=source_1d(u, X_col, eq_type).astype(dtype),
-            X_test=X_test, u_test=u(X_test).astype(dtype))
+            X_col=Xc.astype(dtype), bc_idx=bc_idx,
+            bc_vals=jnp.stack([u(Xc[0]), u(Xc[-1])]).astype(dtype),
+            src=source_1d(u, Xc, eq_type).astype(dtype),
+            X_test=Xt.astype(dtype), u_test=u(Xt).astype(dtype),
+            X_col64=X_col64, X_test64=X_test64)
 
     if eq_type == "advection":
         u = make_advection_solution(beta)
@@ -169,10 +193,12 @@ def make_problem(equation: str, N_col: int, scale: float, *, M: int = 300,
     else:
         raise KeyError(f"unknown equation {equation!r}")
 
-    x_col = jnp.asarray(np.linspace(0, 1, N_col) * scale, dtype)
-    y_col = jnp.asarray(np.linspace(0, 1, N_col) * scale, dtype)
-    x_test = jnp.asarray(np.linspace(0, 1, M) * scale, dtype)
-    y_test = jnp.asarray(np.linspace(0, 1, M) * scale, dtype)
+    x_col64 = np.linspace(0, 1, N_col) * scale
+    y_col64 = np.linspace(0, 1, N_col) * scale
+    x_test64 = np.linspace(0, 1, M) * scale
+    y_test64 = np.linspace(0, 1, M) * scale
+    x_col, y_col = jnp.asarray(x_col64), jnp.asarray(y_col64)
+    x_test, y_test = jnp.asarray(x_test64), jnp.asarray(y_test64)
 
     xm, ym = jnp.meshgrid(x_col, y_col, indexing="ij")
     U_grid = u(xm, ym)
@@ -180,8 +206,10 @@ def make_problem(equation: str, N_col: int, scale: float, *, M: int = 300,
 
     return Problem2D(
         equation=equation, eq_type=eq_type,
-        x_col=x_col, y_col=y_col,
+        x_col=x_col.astype(dtype), y_col=y_col.astype(dtype),
         bc_vals=boundary_values_2d(U_grid).astype(dtype),
         src=source_2d(u, x_col, y_col, eq_type, beta).astype(dtype),
-        x_test=x_test, y_test=y_test, u_test=u(xt, yt).astype(dtype),
-        beta=beta)
+        x_test=x_test.astype(dtype), y_test=y_test.astype(dtype),
+        u_test=u(xt, yt).astype(dtype), beta=beta,
+        x_col64=x_col64, y_col64=y_col64,
+        x_test64=x_test64, y_test64=y_test64)

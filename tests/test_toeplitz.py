@@ -81,6 +81,32 @@ def test_solver_2d_toeplitz_equals_dense_loss():
                                float(sd.loss(params)), rtol=1e-12)
 
 
+def test_toeplitz_active_in_float32():
+    """Regression: f32-cast linspace grids must still take the fast path
+    (detection runs on the problem's authoritative f64 grid; a plain f32
+    grid is covered by the dtype-aware tolerance)."""
+    for eq, ctor in [("poisson_1d-single_sin", Solver1D),
+                     ("poisson_2d-sin_sin", Solver2D)]:
+        prob = make_problem(eq, N_col=400, scale=2 * np.pi,
+                            dtype=jnp.float32)
+        s = ctor(prob, "Matern52_Cos_1d", CFG, Policy(dtype=jnp.float32))
+        assert s.toeplitz, f"Toeplitz fast path dead in f32 for {eq}"
+    # fallback: raw f32 grid without the f64 sidecar
+    x32 = (np.linspace(0, 2 * np.pi, 400)).astype(np.float32)
+    assert uniform_spacing(x32) is not None
+    assert uniform_spacing((np.linspace(0, 1, 50) ** 2).astype(np.float32)) \
+        is None
+
+
+def test_policy_activate_sets_matmul_precision():
+    """The documented accuracy safeguard must actually be applied by solver
+    construction (advisor finding: declared but never installed)."""
+    prob = make_problem("poisson_1d-single_sin", N_col=16, scale=2 * np.pi,
+                        dtype=jnp.float32)
+    Solver1D(prob, "Matern52_Cos_1d", CFG, Policy(dtype=jnp.float32))
+    assert jax.config.jax_default_matmul_precision == "highest"
+
+
 def test_extra_solver_toeplitz_smoke():
     from gphm_tpu.models.extra import Solver1DExtra
     prob = make_problem("poisson_1d-mix_sin", N_col=40, scale=1.0)
