@@ -49,23 +49,14 @@ class Solver1DExtra(Solver1D):
 
     # ------------------------------------------------------------------
     def _factor_extra(self, kernel_paras, solve_dtype=None):
-        if self.toeplitz:
-            from gphm_tpu.ops.gram import toeplitz_gram
-            K = toeplitz_gram(self.kernel_extra, self.lags, self.lag_idx,
-                              kernel_paras, jitter=self.jitter)
-        else:
-            K = self.kernel_extra.kappa(self.tau, kernel_paras)
-            K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
+        K = self.axis.gram(self.kernel_extra, kernel_paras,
+                           jitter=self.jitter, wide=solve_dtype is not None)
         if solve_dtype is not None:
             K = K.astype(solve_dtype)
         return policy_cholesky(K, self.policy)
 
     def _d2_extra(self, kernel_paras):
-        if self.toeplitz:
-            from gphm_tpu.ops.gram import toeplitz_gram
-            return toeplitz_gram(self.kernel_extra, self.lags, self.lag_idx,
-                                 kernel_paras, deriv=2)
-        return self.kernel_extra.d2(self.tau, kernel_paras)
+        return self.axis.gram(self.kernel_extra, kernel_paras, deriv=2)
 
     def make_loss_extra(self, u_base, u_xx_base):
         """Phase-2 loss with the frozen base lifted out as constants
@@ -112,8 +103,9 @@ class Solver1DExtra(Solver1D):
             kp = params_extra["kernel_paras"]
             F = self._factor_extra(kp, solve_dtype=self.eval_solve_dtype)
             alpha = F.solve(u_extra.astype(F.L.dtype))
-            Kmn = self.kernel_extra.kappa(self.tau_test, kp)
-            return preds_base + (Kmn @ alpha).reshape(-1)
+            Kmn = self.cross.eval(self.kernel_extra, kp,
+                                  wide=self.eval_solve_dtype is not None)
+            return preds_base + (Kmn.astype(alpha.dtype) @ alpha).reshape(-1)
 
         return predict_extra
 

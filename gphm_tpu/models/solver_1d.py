@@ -57,22 +57,19 @@ class Solver1D:
         self.N_col = int(self.X_col.shape[0])
         self.N_b = int(self.bc_vals.shape[0])
 
-        self.tau = self.X_col[:, None] - self.X_col[None, :]
-        self.tau_test = self.X_test[:, None] - self.X_col[None, :]
-
-        # Toeplitz fast path: on uniform grids (all shipped configs) the
-        # Gram build needs only the 2N-1 distinct lags — O(NQ) instead of
-        # O(N^2 Q) transcendentals per matrix
-        from gphm_tpu.ops.gram import toeplitz_lags, uniform_spacing
-        # detect uniformity on the authoritative f64 grid: diffs of the
-        # f32-cast grid vary at ~N*eps(f32) and would defeat the fast path
-        x_detect = (problem.X_col64 if getattr(problem, "X_col64", None)
-                    is not None else self.X_col)
-        h = uniform_spacing(x_detect) \
-            if config.get("toeplitz", True) else None
-        self.toeplitz = h is not None
-        if self.toeplitz:
-            self.lags, self.lag_idx = toeplitz_lags(self.N_col, h, p.dtype)
+        # Gram builders own the difference representation: Toeplitz lags on
+        # uniform grids (O(NQ) kernel evals — all shipped configs), two-float
+        # lags for exact-phase f32 training, f64 lags for honest evals.
+        from gphm_tpu.ops.gram import AxisGram, CrossGram
+        phase_exact = bool(config.get("phase_exact", True))
+        self.axis = AxisGram(
+            self.X_col, p.dtype, x64=getattr(problem, "X_col64", None),
+            toeplitz=config.get("toeplitz", True), phase_exact=phase_exact)
+        self.cross = CrossGram(
+            self.X_test, self.X_col, p.dtype,
+            x1_64=getattr(problem, "X_test64", None),
+            x2_64=getattr(problem, "X_col64", None), phase_exact=phase_exact)
+        self.toeplitz = self.axis.toeplitz
 
         from gphm_tpu.models.base import freezable_adam
         self.optimizer = freezable_adam(config["lr"], config.get("freeze"))
@@ -123,32 +120,22 @@ class Solver1D:
             return gram_pair_from_params(
                 self.kernel.name, self.X_col, kernel_paras, deriv=deriv,
                 jitter=self.jitter)
-        if self.toeplitz:
-            from gphm_tpu.ops.gram import toeplitz_gram
-            K = toeplitz_gram(self.kernel, self.lags, self.lag_idx,
-                              kernel_paras, jitter=self.jitter)
-            Kd = toeplitz_gram(self.kernel, self.lags, self.lag_idx,
-                               kernel_paras, deriv=deriv)
-            return K, Kd
-        K = self.kernel.kappa(self.tau, kernel_paras)
-        K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
-        Kd = self.kernel.deriv(deriv)(self.tau, kernel_paras)
+        K = self.axis.gram(self.kernel, kernel_paras, jitter=self.jitter)
+        Kd = self.axis.gram(self.kernel, kernel_paras, deriv=deriv)
         return K, Kd
 
     def _factor(self, kernel_paras, solve_dtype=None):
-        if self.toeplitz:
-            from gphm_tpu.ops.gram import toeplitz_gram
-            K = toeplitz_gram(self.kernel, self.lags, self.lag_idx,
-                              kernel_paras, jitter=self.jitter)
-        else:
-            K = self.kernel.kappa(self.tau, kernel_paras)
-            K = K + self.jitter * jnp.eye(self.N_col, dtype=K.dtype)
+        """Factor of K; with a wider ``solve_dtype`` the Gram itself is
+        rebuilt at the wide tier (honest f64 entries, not an f32 cast)."""
+        wide = solve_dtype is not None
+        K = self.axis.gram(self.kernel, kernel_paras, jitter=self.jitter,
+                           wide=wide)
         if solve_dtype is not None:
             K = K.astype(solve_dtype)
         return policy_cholesky(K, self.policy)
 
     def _u_xx(self, kernel_paras, alpha):
-        K_dxx = self.kernel.d2(self.tau, kernel_paras)
+        K_dxx = self.axis.gram(self.kernel, kernel_paras, deriv=2)
         return K_dxx @ alpha
 
     def residual(self, u, u_xx):
@@ -182,16 +169,19 @@ class Solver1D:
             - 0.5 * jnp.exp(params["log_v"]) * eq_gap
         return -(log_prior + log_boundary_ll * self.llk_weight + eq_ll)
 
-    def _predict(self, params, tau_test=None):
+    def _predict(self, params, cross=None):
         """Posterior mean at test points: Kmn K^-1 u
-        (reference: code/model_GP_solver_1d.py:160-180). The solve runs in
-        the widened eval dtype (see __init__)."""
+        (reference: code/model_GP_solver_1d.py:160-180). Both the Gram and
+        the cross-covariance are built at the wide (f64) tier and the solve
+        runs there too (see __init__): with f32-trained kernels an f32
+        posterior solve can misreport a correctly trained model."""
         F = self._factor(params["kernel_paras"],
                          solve_dtype=self.eval_solve_dtype)
         alpha = F.solve(params["u"].astype(F.L.dtype))
-        t = self.tau_test if tau_test is None else tau_test
-        Kmn = self.kernel.kappa(t, params["kernel_paras"])
-        return (Kmn @ alpha).reshape(-1)
+        cr = self.cross if cross is None else cross
+        Kmn = cr.eval(self.kernel, params["kernel_paras"],
+                      wide=self.eval_solve_dtype is not None)
+        return (Kmn.astype(alpha.dtype) @ alpha).reshape(-1)
 
     def _eval_err(self, params):
         preds = self._predict(params)

@@ -63,26 +63,27 @@ class Solver2D:
         self.Nb = int(self.bc_vals.shape[0])
         self.beta = float(problem.beta)
 
-        self.tau1 = self.x_col[:, None] - self.x_col[None, :]
-        self.tau2 = self.y_col[:, None] - self.y_col[None, :]
-        self.tau1_test = self.x_test[:, None] - self.x_col[None, :]
-        self.tau2_test = self.y_test[:, None] - self.y_col[None, :]
-
-        # Toeplitz fast path on uniform per-dimension grids (all shipped
-        # configs); see Solver1D
-        from gphm_tpu.ops.gram import toeplitz_lags, uniform_spacing
+        # Per-dimension Gram builders: Toeplitz lags on uniform grids,
+        # two-float lags for exact-phase f32 training, f64 lags for honest
+        # evals (see ops/gram.AxisGram and Solver1D)
+        from gphm_tpu.ops.gram import AxisGram, CrossGram
         use_toe = config.get("toeplitz", True)
-        # uniformity is detected on the authoritative f64 grids (see Solver1D)
-        x_detect = (problem.x_col64 if getattr(problem, "x_col64", None)
-                    is not None else self.x_col)
-        y_detect = (problem.y_col64 if getattr(problem, "y_col64", None)
-                    is not None else self.y_col)
-        h1 = uniform_spacing(x_detect) if use_toe else None
-        h2 = uniform_spacing(y_detect) if use_toe else None
-        self.toeplitz = h1 is not None and h2 is not None
-        if self.toeplitz:
-            self.lags1, self.lag_idx1 = toeplitz_lags(self.N1, h1, p.dtype)
-            self.lags2, self.lag_idx2 = toeplitz_lags(self.N2, h2, p.dtype)
+        phase_exact = bool(config.get("phase_exact", True))
+        self.axis1 = AxisGram(
+            self.x_col, p.dtype, x64=getattr(problem, "x_col64", None),
+            toeplitz=use_toe, phase_exact=phase_exact)
+        self.axis2 = AxisGram(
+            self.y_col, p.dtype, x64=getattr(problem, "y_col64", None),
+            toeplitz=use_toe, phase_exact=phase_exact)
+        self.cross1 = CrossGram(
+            self.x_test, self.x_col, p.dtype,
+            x1_64=getattr(problem, "x_test64", None),
+            x2_64=getattr(problem, "x_col64", None), phase_exact=phase_exact)
+        self.cross2 = CrossGram(
+            self.y_test, self.y_col, p.dtype,
+            x1_64=getattr(problem, "y_test64", None),
+            x2_64=getattr(problem, "y_col64", None), phase_exact=phase_exact)
+        self.toeplitz = self.axis1.toeplitz and self.axis2.toeplitz
 
         from gphm_tpu.models.base import freezable_adam
         self.optimizer = freezable_adam(config["lr"], config.get("freeze"))
@@ -127,28 +128,15 @@ class Solver2D:
         self.eval_err = jax.jit(self._eval_err)
 
     # ------------------------------------------------------------------
-    def _lags_for(self, tau):
-        return (self.lags1, self.lag_idx1) if tau is self.tau1 \
-            else (self.lags2, self.lag_idx2)
-
-    def _K_and_Kd(self, x, tau, kernel_paras):
+    def _K_and_Kd(self, x, axis, kernel_paras):
         """Per-dimension covariance + derivative cross-covariance."""
         if self.use_pallas:
             from gphm_tpu.ops.pallas_gram import gram_pair_from_params
             return gram_pair_from_params(
                 self.kernel.name, x, kernel_paras, deriv=self.deriv_order,
                 jitter=self.jitter)
-        if self.toeplitz:
-            from gphm_tpu.ops.gram import toeplitz_gram
-            lags, idx = self._lags_for(tau)
-            K = toeplitz_gram(self.kernel, lags, idx, kernel_paras,
-                              jitter=self.jitter)
-            Kd = toeplitz_gram(self.kernel, lags, idx, kernel_paras,
-                               deriv=self.deriv_order)
-            return K, Kd
-        K = self.kernel.kappa(tau, kernel_paras)
-        K = K + self.jitter * jnp.eye(K.shape[0], dtype=K.dtype)
-        Kd = self.kernel.deriv(self.deriv_order)(tau, kernel_paras)
+        K = axis.gram(self.kernel, kernel_paras, jitter=self.jitter)
+        Kd = axis.gram(self.kernel, kernel_paras, deriv=self.deriv_order)
         return K, Kd
 
     def _psd_solve(self, K, B):
@@ -164,8 +152,8 @@ class Solver2D:
         """Per-dimension solves and derivative lifts of U."""
         U = params["U"]
         kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
-        K1, Kd1 = self._K_and_Kd(self.x_col, self.tau1, kp1)
-        K2, Kd2 = self._K_and_Kd(self.y_col, self.tau2, kp2)
+        K1, Kd1 = self._K_and_Kd(self.x_col, self.axis1, kp1)
+        K2, Kd2 = self._K_and_Kd(self.y_col, self.axis2, kp2)
         if self.N1 == self.N2 and self.solve_mode == "cholesky" \
                 and self.config.get("batched_chol", False):
             # optional: stack the two per-dim factorizations into one batched
@@ -227,22 +215,24 @@ class Solver2D:
 
     def _predict(self, params):
         """Per-dimension cross-kernel posterior mean
-        (reference: code/model_GP_solver_2d.py:185-220), solves widened to
-        the eval dtype."""
+        (reference: code/model_GP_solver_2d.py:185-220). Grams, cross-Grams,
+        and solves all run at the wide (f64) tier when available — f32
+        posterior solves can misreport a correctly trained model."""
         sd = self.eval_solve_dtype
+        wide = sd is not None
         kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
-        K1 = self.kernel.kappa(self.tau1, kp1) \
-            + self.jitter * jnp.eye(self.N1, dtype=self.policy.dtype)
+        K1 = self.axis1.gram(self.kernel, kp1, jitter=self.jitter, wide=wide)
         if sd is not None:
             K1 = K1.astype(sd)
-        M1 = self.kernel.kappa(self.tau1_test, kp1) \
+        Kmn1 = self.cross1.eval(self.kernel, kp1, wide=wide)
+        M1 = Kmn1.astype(K1.dtype) \
             @ self._psd_solve(K1, params["U"].astype(K1.dtype))[0]
-        K2 = self.kernel.kappa(self.tau2, kp2) \
-            + self.jitter * jnp.eye(self.N2, dtype=self.policy.dtype)
+        K2 = self.axis2.gram(self.kernel, kp2, jitter=self.jitter, wide=wide)
         if sd is not None:
             K2 = K2.astype(sd)
+        Kmn2 = self.cross2.eval(self.kernel, kp2, wide=wide)
         M2 = self._psd_solve(K2, M1.T.astype(K2.dtype))[0]
-        return (self.kernel.kappa(self.tau2_test, kp2) @ M2).T
+        return (Kmn2.astype(M2.dtype) @ M2).T
 
     def _eval_err(self, params):
         diff = self._predict(params).reshape(-1) - self.u_test.reshape(-1)

@@ -9,8 +9,11 @@ intermediate is materialized in HBM.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
+from gphm_tpu.ops import df32
 from gphm_tpu.ops.kernels import StationaryKernel
 
 
@@ -57,8 +60,6 @@ def uniform_spacing(x) -> float | None:
     silently disabled this path for every float32 production run (solvers
     now pass the problem's authoritative float64 grid, making this a
     fallback for user-supplied grids)."""
-    import numpy as np
-
     xv = np.asarray(x)
     xh = xv.astype(np.float64).reshape(-1)
     if xh.size < 2:
@@ -77,12 +78,101 @@ def uniform_spacing(x) -> float | None:
 def toeplitz_lags(N: int, h: float, dtype):
     """The 2N-1 distinct signed differences tau_ij = (i - j) h of a uniform
     grid, and the (N, N) gather index matrix mapping lag -> position."""
-    import numpy as np
-
     lags = jnp.asarray(np.arange(-(N - 1), N) * h, dtype)
     i = np.arange(N)
     idx = jnp.asarray((i[:, None] - i[None, :]) + (N - 1), jnp.int32)
     return lags, idx
+
+
+class AxisGram:
+    """One collocation axis's Gram builder, owning the difference
+    representation at two accuracy tiers:
+
+      * **train tier** — policy-dtype arrays; in float32 with
+        ``phase_exact`` the lags/differences are carried as a two-float
+        (hi, lo) pair so the mixture kernels evaluate with a compensated
+        trig phase (ops/df32.py) — the dominant f32 Gram error for
+        high-frequency problems — while storage and linear algebra stay f32;
+      * **wide tier** — float64 lags/differences (when x64 is live), used by
+        evaluation/prediction Grams so reported errors are honest: with
+        f32-trained kernels the predict-time solve can hit
+        cond(K) ~ 1/eps(f32) and misreport a correctly trained model.
+
+    Uniform grids (every shipped reference config) use the Toeplitz lag
+    representation: O(N Q) kernel evaluations + one structured gather
+    instead of the reference's O(N^2 Q) pairwise pass
+    (reference: code/kernel_matrix.py:21-30).
+    """
+
+    def __init__(self, x, dtype, *, x64=None, toeplitz: bool = True,
+                 phase_exact: bool = True):
+        x_arr = np.asarray(x)
+        xd = np.asarray(x64, np.float64) if x64 is not None \
+            else x_arr.astype(np.float64)
+        self.N = int(xd.reshape(-1).size)
+        xd = xd.reshape(-1)
+        dtype = jnp.dtype(dtype)
+        self.dtype = dtype
+        self.phase_exact = bool(phase_exact) and dtype == jnp.float32
+        wide_ok = bool(jax.config.jax_enable_x64)
+
+        h = uniform_spacing(xd) if toeplitz else None
+        self.toeplitz = h is not None
+        if self.toeplitz:
+            lags64 = np.arange(-(self.N - 1), self.N) * h
+            i = np.arange(self.N)
+            self.idx = jnp.asarray((i[:, None] - i[None, :]) + (self.N - 1),
+                                   jnp.int32)
+            t64 = lags64
+        else:
+            self.idx = None
+            t64 = xd[:, None] - xd[None, :]
+        self.tau_train = (df32.from_f64(t64) if self.phase_exact
+                          else jnp.asarray(t64, dtype))
+        self.tau_wide = jnp.asarray(t64) if wide_ok else None
+
+    def gram(self, kernel: StationaryKernel, params, *, deriv: int = 0,
+             jitter: float = 0.0, wide: bool = False):
+        """(N, N) covariance / derivative cross-covariance (+ jitter I)."""
+        use_wide = wide and self.tau_wide is not None
+        tau = self.tau_wide if use_wide else self.tau_train
+        if use_wide:
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, self.tau_wide.dtype), params)
+        kv = kernel.deriv(deriv)(tau, params)
+        K = jnp.take(kv, self.idx, axis=0) if self.toeplitz else kv
+        if jitter:
+            K = K + jitter * jnp.eye(self.N, dtype=K.dtype)
+        return K
+
+
+class CrossGram:
+    """Rectangular test-vs-collocation cross-covariance with the same two
+    accuracy tiers as AxisGram (reference preds cross-Gram:
+    code/model_GP_solver_1d.py:172-178)."""
+
+    def __init__(self, x1, x2, dtype, *, x1_64=None, x2_64=None,
+                 phase_exact: bool = True):
+        a = (np.asarray(x1_64, np.float64) if x1_64 is not None
+             else np.asarray(x1).astype(np.float64)).reshape(-1)
+        b = (np.asarray(x2_64, np.float64) if x2_64 is not None
+             else np.asarray(x2).astype(np.float64)).reshape(-1)
+        t64 = a[:, None] - b[None, :]
+        dtype = jnp.dtype(dtype)
+        self.phase_exact = bool(phase_exact) and dtype == jnp.float32
+        self.tau_train = (df32.from_f64(t64) if self.phase_exact
+                          else jnp.asarray(t64, dtype))
+        self.tau_wide = (jnp.asarray(t64)
+                         if jax.config.jax_enable_x64 else None)
+
+    def eval(self, kernel: StationaryKernel, params, *, deriv: int = 0,
+             wide: bool = False):
+        use_wide = wide and self.tau_wide is not None
+        tau = self.tau_wide if use_wide else self.tau_train
+        if use_wide:
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, self.tau_wide.dtype), params)
+        return kernel.deriv(deriv)(tau, params)
 
 
 def toeplitz_gram(kernel: StationaryKernel, lags, idx, params, *,

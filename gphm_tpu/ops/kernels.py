@@ -37,10 +37,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gphm_tpu.ops import df32
+from gphm_tpu.ops.df32 import TwoFloat
+
 Params = Dict[str, jax.Array]
 
 _SQRT5 = 5.0 ** 0.5
 _TWO_PI = 2.0 * np.pi
+
+
+def _parts(tau):
+    """tau may be a plain array or a two-float pair (hi, lo).
+
+    The two-float form carries the difference/lag to ~48 mantissa bits; the
+    mixture kernels use the low word for a compensated trig phase (and a
+    first-order envelope correction), which removes the dominant f32 error
+    — |2 pi f tau| * eps(f32) ~ 1e-4 absolute for the reference's
+    high-frequency problems — from every Gram entry while all storage and
+    linear algebra stay float32.
+    """
+    if isinstance(tau, TwoFloat):
+        return tau.hi, tau.lo
+    return tau, None
 
 
 def _autodiff_deriv(kappa_scalar: Callable, order: int) -> Callable:
@@ -56,6 +74,7 @@ def _autodiff_deriv(kappa_scalar: Callable, order: int) -> Callable:
         fn = jax.grad(fn)
 
     def deriv(tau, params):
+        tau = _parts(tau)[0]   # 3rd/4th derivatives: plain f32 fallback
         flat = tau.reshape(-1)
         vals = jax.vmap(fn, (0, None))(flat, params)
         return vals.reshape(tau.shape)
@@ -145,13 +164,20 @@ class SECos(StationaryKernel):
         return (jnp.exp(params["log-w"]) * se * cos).sum()
 
     def _terms(self, tau, params):
-        t = tau[..., None]
+        hi, lo = _parts(tau)
+        t = hi[..., None]
         gam = jnp.exp(params["log-ls"])
         c = _TWO_PI * params["freq"]
         w = jnp.exp(params["log-w"])
         E = jnp.exp(-t ** 2 * gam)
-        ct = c * t
-        return t, gam, c, w, E, jnp.cos(ct), jnp.sin(ct)
+        if lo is None:
+            ct = c * t
+            return t, gam, c, w, E, jnp.cos(ct), jnp.sin(ct)
+        tl = lo[..., None]
+        C, S = df32.cos_sin_2pi(TwoFloat(t, tl), params["freq"])
+        # first-order envelope correction: exp(-(t+tl)^2 g) ~ E (1 - 2 g t tl)
+        E = E * (1.0 - 2.0 * gam * t * tl)
+        return t, gam, c, w, E, C, S
 
     def kappa(self, tau, params):
         _, _, _, w, E, C, _ = self._terms(tau, params)
@@ -195,17 +221,27 @@ class Matern52Cos(StationaryKernel):
         return (jnp.exp(params["log-w"]) * m * cos).sum()
 
     def _terms(self, tau, params):
-        d = jnp.abs(tau)[..., None]
+        hi, lo = _parts(tau)
+        if lo is None:
+            d, dl = jnp.abs(hi)[..., None], None
+        else:
+            dtf = df32.abs_(TwoFloat(hi, lo))
+            d, dl = dtf.hi[..., None], dtf.lo[..., None]
         a = jnp.exp(params["log-ls"])
         c = _TWO_PI * params["freq"]
         w = jnp.exp(params["log-w"])
         rd = _SQRT5 * a * d
         E = jnp.exp(-rd)
+        if dl is None:
+            C, S = jnp.cos(c * d), jnp.sin(c * d)
+        else:
+            C, S = df32.cos_sin_2pi(TwoFloat(d, dl), params["freq"])
+            # first-order envelope correction: exp(-sqrt5 a (d+dl))
+            E = E * (1.0 - _SQRT5 * a * dl)
         m = (1.0 + rd + 5.0 / 3.0 * a ** 2 * d ** 2) * E
         mp = -(5.0 / 3.0) * a ** 2 * d * (1.0 + rd) * E
         mpp = -(5.0 / 3.0) * a ** 2 * (1.0 + rd - 5.0 * a ** 2 * d ** 2) * E
-        cd = c * d
-        return d, a, c, w, m, mp, mpp, jnp.cos(cd), jnp.sin(cd)
+        return d, a, c, w, m, mp, mpp, C, S
 
     def kappa(self, tau, params):
         _, _, _, w, m, _, _, C, _ = self._terms(tau, params)
@@ -214,7 +250,7 @@ class Matern52Cos(StationaryKernel):
     def d1(self, tau, params):
         d, a, c, w, m, mp, _, C, S = self._terms(tau, params)
         hp = (w * (mp * C - c * m * S)).sum(-1)
-        return hp * jnp.sign(tau)
+        return hp * jnp.sign(_parts(tau)[0])
 
     def d2(self, tau, params):
         d, a, c, w, m, mp, mpp, C, S = self._terms(tau, params)
@@ -237,7 +273,8 @@ class Matern52(StationaryKernel):
         return (jnp.exp(params["log-w"]) * m).sum()
 
     def _terms(self, tau, params):
-        d = jnp.abs(tau)[..., None]
+        # smooth low-frequency baseline: the high word suffices
+        d = jnp.abs(_parts(tau)[0])[..., None]
         a = jnp.exp(params["log-ls"])
         w = jnp.exp(params["log-w"])
         rd = _SQRT5 * a * d
@@ -251,7 +288,7 @@ class Matern52(StationaryKernel):
     def d1(self, tau, params):
         d, a, w, rd, E = self._terms(tau, params)
         mp = (w * -(5.0 / 3.0) * a ** 2 * d * (1.0 + rd) * E).sum(-1)
-        return mp * jnp.sign(tau)
+        return mp * jnp.sign(_parts(tau)[0])
 
     def d2(self, tau, params):
         d, a, w, rd, E = self._terms(tau, params)
@@ -272,19 +309,19 @@ class SE(StationaryKernel):
                 * jnp.exp(-d ** 2 * jnp.exp(params["log-ls"]))).sum()
 
     def kappa(self, tau, params):
-        t = tau[..., None]
+        t = _parts(tau)[0][..., None]
         gam = jnp.exp(params["log-ls"])
         w = jnp.exp(params["log-w"])
         return (w * jnp.exp(-t ** 2 * gam)).sum(-1)
 
     def d1(self, tau, params):
-        t = tau[..., None]
+        t = _parts(tau)[0][..., None]
         gam = jnp.exp(params["log-ls"])
         w = jnp.exp(params["log-w"])
         return (w * -2.0 * gam * t * jnp.exp(-t ** 2 * gam)).sum(-1)
 
     def d2(self, tau, params):
-        t = tau[..., None]
+        t = _parts(tau)[0][..., None]
         gam = jnp.exp(params["log-ls"])
         w = jnp.exp(params["log-w"])
         E = jnp.exp(-t ** 2 * gam)
