@@ -44,9 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--Q", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--dtype", default=None,
-                   choices=["float32", "float64", "mixed"],
+                   choices=["float32", "float64", "mixed", "refined"],
                    help="float32 = TPU production; float64 = validation; "
-                        "mixed = f32 Gram + f64 factorization/solves")
+                        "mixed = f32 Gram + f64 factorization/solves; "
+                        "refined = f64 Grams + f32 factorization + "
+                        "f64-residual refinement (f64 accuracy at ~f32 "
+                        "cost — for the hard high-frequency configs)")
     p.add_argument("--num-fold", type=int, default=None, dest="num_fold")
     p.add_argument("--out", default="result_log",
                    help="artifact directory (use '' to disable)")

@@ -39,6 +39,14 @@ def _policy_for(config: RunConfig) -> Policy:
         except Exception as e:  # backend already used with x32 literals
             print(f"warning: could not enable x64 ({e}); f32 runs will "
                   f"evaluate predictions in f32")
+    if config.dtype == "refined":
+        # f64 hot-loop Grams + fast f32 factorization + f64-residual
+        # refinement sweeps (ops/refined.py): ~f64 forward error at ~f32
+        # cost — the production tier for the reference's hard f64-dependent
+        # configs (reference: code/run_1d.sh:39-40)
+        return Policy(dtype=jnp.float32, refine_iters=config.refine_iters,
+                      jitter=config.jitter,
+                      max_jitter_tries=config.jitter_retries)
     if config.dtype == "mixed":
         # f32 Gram/optimizer + f64 factorization/solves: targets configs
         # where cond(K) approaches 1/eps_f32 during training
@@ -102,15 +110,28 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
             metrics.log(fold=fold, epoch=epoch, rel_l2=err, loss=loss)
 
         on_checkpoint = None
+        extra_kw = {}
         if directory and fold == 0:
             latest = os.path.join(directory, "latest.npz")
+            base_latest = os.path.join(directory, "base_latest.npz")
 
-            def on_checkpoint(epoch, params, opt_state):
+            def on_checkpoint(epoch, params, opt_state, stats=None):
                 # rolling checkpoint for crash resume (absent from the
-                # reference, which pickles only once post-training)
+                # reference, which pickles only once post-training); the
+                # running min_err/counter ride along so a resumed run
+                # reports the whole-run aggregate
                 save_checkpoint(latest, (params, opt_state),
-                                meta={"epoch": epoch,
+                                meta={"epoch": epoch, **(stats or {}),
                                       **dataclasses.asdict(config)})
+
+            if config.family == "1d_extra":
+                # persist the frozen phase-1 GP the moment the two-GP
+                # switch fires, enabling phase-2 crash resume
+                def on_phase_switch(epoch, base_params):
+                    save_checkpoint(base_latest, base_params,
+                                    meta={"epoch": epoch})
+
+                extra_kw["on_phase_switch"] = on_phase_switch
 
         # crash resume: pick up fold 0 from the rolling checkpoint
         # (reference has no resume at all; SURVEY §5)
@@ -120,25 +141,43 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
             if os.path.exists(latest):
                 from gphm_tpu.utils.checkpoint import (load_checkpoint,
                                                        load_meta)
-                if config.family == "1d_extra":
-                    raise NotImplementedError(
-                        "resume across the two-GP phase switch is not "
-                        "supported; rerun from scratch")
-                tmpl_p = solver.init_params()
-                tmpl = (tmpl_p, solver.optimizer.init(tmpl_p))
-                state = load_checkpoint(latest, tmpl)
-                epoch_done = int(load_meta(latest)["meta"]["epoch"])
-                resume_kw = dict(init_state=state,
-                                 start_epoch=epoch_done + 1)
+                meta = load_meta(latest)["meta"]
+                epoch_done = int(meta["epoch"])
+                start = epoch_done + 1
+                resume_kw = dict(
+                    start_epoch=start,
+                    min_err0=float(meta.get("min_err", 2.0)),
+                    error_increase_count0=int(
+                        meta.get("error_increase_count", 0)))
+                phase2 = (config.family == "1d_extra"
+                          and start > int(nepoch * config.change_point))
+                if phase2:
+                    # checkpoints past the change point hold phase-2 (extra)
+                    # parameters; the frozen base comes from base_latest.npz
+                    base_latest = os.path.join(directory, "base_latest.npz")
+                    if not os.path.exists(base_latest):
+                        raise FileNotFoundError(
+                            f"phase-2 resume needs {base_latest} (written "
+                            f"at the phase switch); not found")
+                    base_params = load_checkpoint(base_latest,
+                                                  solver.init_params())
+                    tmpl_p = solver.init_params_extra(base_params)
+                    tmpl = (tmpl_p, solver.optimizer_extra.init(tmpl_p))
+                    resume_kw["base_params"] = base_params
+                else:
+                    tmpl_p = solver.init_params()
+                    tmpl = (tmpl_p, solver.optimizer.init(tmpl_p))
+                resume_kw["init_state"] = load_checkpoint(latest, tmpl)
                 if verbose:
-                    print(f"resuming from epoch {epoch_done + 1}")
+                    print(f"resuming from epoch {start}"
+                          + (" (phase 2)" if phase2 else ""))
 
         if verbose:
             print(f"fold {fold}: {config.equation} / {config.kernel} "
                   f"({nepoch} epochs)")
         res = solver.train(nepoch, seed=fold, verbose=verbose,
                            on_eval=on_eval, on_checkpoint=on_checkpoint,
-                           **resume_kw)
+                           **extra_kw, **resume_kw)
         err_list.append(res.min_err)
         stop_epochs.append(res.early_stopping["epoch"])
         fold_results.append(res)

@@ -236,9 +236,14 @@ def chunked_train(
     phase_boundaries: Optional[List[int]] = None,
     phase_hook: Optional[Callable] = None,   # (epoch, state) -> state
     on_eval: Optional[Callable] = None,      # host callback(epoch, err, loss)
-    on_checkpoint: Optional[Callable] = None,  # (epoch, params, opt_state)
+    on_checkpoint: Optional[Callable] = None,  # (epoch, params, opt_state,
+                                               #  stats) — stats carries the
+                                               # running min_err / counter so
+                                               # resume restores them
     nan_policy: str = "warn",                # "warn" | "raise"
     start_epoch: int = 0,
+    min_err0: float = 2.0,                   # resume: pre-crash running min
+    error_increase_count0: int = 0,
     verbose: bool = True,
 ) -> TrainResult:
     """Run the reference training protocol with scan-fused epochs.
@@ -247,7 +252,9 @@ def chunked_train(
     (e.g. the two-GP change point); chunks are split there as well as at the
     evaluation cadence. ``start_epoch > 0`` resumes a crashed run from a
     rolling checkpoint: the eval cadence stays aligned to the original
-    absolute epochs.
+    absolute epochs, and ``min_err0``/``error_increase_count0`` seed the
+    min-error tracking so the reported aggregate covers the whole run, not
+    just the post-crash tail.
     """
     evals = eval_epochs(nepoch)
     eval_set = set(e for e in evals if e >= start_epoch)
@@ -259,9 +266,11 @@ def chunked_train(
 
     start = time.time()
     log: Dict[str, List] = {"loss_list": [], "err_list": [], "epoch_list": []}
-    min_err = 2.0   # reference sentinel (code/model_GP_solver_1d.py:227)
+    # reference sentinel (code/model_GP_solver_1d.py:227); seeded from the
+    # checkpoint on resume
+    min_err = float(min_err0)
     threshold = 1e-3
-    error_increase_count = 0
+    error_increase_count = int(error_increase_count0)
     early_stopping = {"flag": False, "epoch": nepoch}
     fired = set()
 
@@ -316,7 +325,9 @@ def chunked_train(
             if on_eval is not None:
                 on_eval(i, err, loss_f)
             if on_checkpoint is not None:
-                on_checkpoint(i, state.params, state.opt_state)
+                on_checkpoint(i, state.params, state.opt_state,
+                              {"min_err": min_err,
+                               "error_increase_count": error_increase_count})
 
             # NaN/inf guard — the reference trains blindly through
             # divergence and only papers over NaNs in post-hoc analysis

@@ -50,13 +50,15 @@ class Solver1DExtra(Solver1D):
     # ------------------------------------------------------------------
     def _factor_extra(self, kernel_paras, solve_dtype=None):
         K = self.axis.gram(self.kernel_extra, kernel_paras,
-                           jitter=self.jitter, wide=solve_dtype is not None)
+                           jitter=self.jitter,
+                           wide=solve_dtype is not None or self.wide_train)
         if solve_dtype is not None:
             K = K.astype(solve_dtype)
         return policy_cholesky(K, self.policy)
 
     def _d2_extra(self, kernel_paras):
-        return self.axis.gram(self.kernel_extra, kernel_paras, deriv=2)
+        return self.axis.gram(self.kernel_extra, kernel_paras, deriv=2,
+                              wide=self.wide_train)
 
     def make_loss_extra(self, u_base, u_xx_base):
         """Phase-2 loss with the frozen base lifted out as constants
@@ -75,11 +77,11 @@ class Solver1DExtra(Solver1D):
                 (u_base[self.bc_idx].reshape(-1)
                  + u_extra[self.bc_idx].reshape(-1) - self.bc_vals) ** 2)
             if self.eq_type == "poisson_1d":
-                res = u_xx_base + u_xx_extra - self.src
+                res = u_xx_base + u_xx_extra - self.src_loss
             elif self.eq_type == "allencahn_1d":
                 u_tot = u_base + u_extra
                 res = u_xx_base + u_xx_extra \
-                    + u_tot * (u_tot ** 2 - 1) - self.src
+                    + u_tot * (u_tot ** 2 - 1) - self.src_loss
             else:
                 raise NotImplementedError(self.eq_type)
             eq_gap = jnp.sum(res ** 2)
@@ -125,73 +127,116 @@ class Solver1DExtra(Solver1D):
         }
 
     # ------------------------------------------------------------------
+    def _phase2_state(self, base_params, params_extra=None,
+                      opt_state_extra=None) -> TrainState:
+        """Phase-2 TrainState with the frozen base lifted out as constants
+        (reference switch: code/model_GP_solver_1d_extra.py:263-282). Also
+        the resume entry point: with ``params_extra``/``opt_state_extra``
+        from a rolling checkpoint it reconstructs mid-phase-2 training."""
+        solver = self
+        F = solver._factor(base_params["kernel_paras"])
+        alpha = F.solve(base_params["u"])
+        u_xx_base = solver._u_xx(base_params["kernel_paras"], alpha)
+        u_base = base_params["u"]
+        preds_base = solver._predict(base_params)
+
+        loss_extra = solver.make_loss_extra(u_base, u_xx_base)
+        predict_extra = solver.make_predict_extra(preds_base)
+
+        def eval_extra(params_extra):
+            diff = predict_extra(params_extra) - solver.u_test.reshape(-1)
+            return jnp.linalg.norm(diff) / jnp.linalg.norm(solver.u_test)
+
+        # criterion stays on the frozen base params
+        # (reference: code/model_GP_solver_1d_extra.py:314)
+        base_criterion = solver.criterion(base_params)
+
+        # phase-2 mixture-parameter logging keeps appending the frozen
+        # base values, as the reference does
+        # (code/model_GP_solver_1d_extra.py:308-310)
+        base_stats = {k: jnp.asarray(v) for k, v in
+                      solver.param_log(base_params).items()}
+
+        if params_extra is None:
+            params_extra = solver.init_params_extra(base_params)
+        if opt_state_extra is None:
+            opt_state_extra = solver.optimizer_extra.init(params_extra)
+        return TrainState(
+            params=params_extra,
+            opt_state=opt_state_extra,
+            run_chunk=make_chunk_runner(loss_extra, solver.optimizer_extra),
+            eval_fn=jax.jit(eval_extra),
+            criterion_fn=lambda _p: base_criterion,
+            param_log_fn=lambda _p: base_stats,
+        )
+
     def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
               on_eval=None, on_checkpoint=None,
-              nan_policy: str = "warn") -> TrainResult:
+              nan_policy: str = "warn", init_state=None,
+              start_epoch: int = 0, base_params=None,
+              on_phase_switch=None, min_err0: float = 2.0,
+              error_increase_count0: int = 0) -> TrainResult:
+        """Two-phase training; resumable in either phase.
+
+        Resume semantics (absent from the reference, which has no resume at
+        all — SURVEY §5): a rolling checkpoint written at eval index
+        ``i >= change_point`` holds phase-2 (extra) parameters; resuming
+        there requires ``base_params`` (the frozen phase-1 GP, persisted by
+        ``on_phase_switch`` when the switch fires). Checkpoints with
+        ``i < change_point`` hold phase-1 parameters and resume directly.
+        """
         del seed  # deterministic; phase-1/2 losses ignore their RNG keys
         change_point = int(nepoch * float(self.config["change_point"]))
         solver = self
-
-        state = TrainState(
-            params=self.init_params(),
-            opt_state=None,
-            run_chunk=make_chunk_runner(self._loss, self.optimizer),
-            eval_fn=self.eval_err,
-            criterion_fn=self.criterion,
-            param_log_fn=jax.jit(self.param_log),
-        )
-        state.opt_state = self.optimizer.init(state.params)
         base_holder = {}
+        in_phase2 = start_epoch > change_point
+
+        if in_phase2:
+            if base_params is None:
+                raise ValueError(
+                    "resuming a two-GP run inside phase 2 requires the "
+                    "frozen base parameters (base_params)")
+            base_params = jax.tree_util.tree_map(jnp.copy, base_params)
+            base_holder["params"] = base_params
+            if init_state is None:
+                raise ValueError("phase-2 resume requires init_state")
+            state = self._phase2_state(base_params, init_state[0],
+                                       init_state[1])
+            boundaries = []
+        else:
+            params = (init_state[0] if init_state
+                      else self.init_params())
+            state = TrainState(
+                params=params,
+                opt_state=(init_state[1] if init_state
+                           else self.optimizer.init(params)),
+                run_chunk=make_chunk_runner(self._loss, self.optimizer),
+                eval_fn=self.eval_err,
+                criterion_fn=self.criterion,
+                param_log_fn=jax.jit(self.param_log),
+            )
+            boundaries = [change_point + 1]
 
         def phase_hook(epoch, st: TrainState) -> TrainState:
             # Fires after completing step i == change_point
             # (reference switch: code/model_GP_solver_1d_extra.py:263-282).
             # deep copy: downstream chunk runners donate their inputs, and
             # the frozen base must outlive them
-            base_params = jax.tree_util.tree_map(jnp.copy, st.params)
-            base_holder["params"] = base_params
-
-            F = solver._factor(base_params["kernel_paras"])
-            alpha = F.solve(base_params["u"])
-            u_xx_base = solver._u_xx(base_params["kernel_paras"], alpha)
-            u_base = base_params["u"]
-            preds_base = solver._predict(base_params)
-
-            loss_extra = solver.make_loss_extra(u_base, u_xx_base)
-            predict_extra = solver.make_predict_extra(preds_base)
-
-            def eval_extra(params_extra):
-                diff = predict_extra(params_extra) - solver.u_test.reshape(-1)
-                return jnp.linalg.norm(diff) / jnp.linalg.norm(solver.u_test)
-
-            # criterion stays on the frozen base params
-            # (reference: code/model_GP_solver_1d_extra.py:314)
-            base_criterion = solver.criterion(base_params)
-
-            # phase-2 mixture-parameter logging keeps appending the frozen
-            # base values, as the reference does
-            # (code/model_GP_solver_1d_extra.py:308-310)
-            base_stats = {k: jnp.asarray(v) for k, v in
-                          solver.param_log(base_params).items()}
-
-            params_extra = solver.init_params_extra(base_params)
-            return TrainState(
-                params=params_extra,
-                opt_state=solver.optimizer_extra.init(params_extra),
-                run_chunk=make_chunk_runner(loss_extra,
-                                            solver.optimizer_extra),
-                eval_fn=jax.jit(eval_extra),
-                criterion_fn=lambda _p: base_criterion,
-                param_log_fn=lambda _p: base_stats,
-            )
+            frozen = jax.tree_util.tree_map(jnp.copy, st.params)
+            base_holder["params"] = frozen
+            if on_phase_switch is not None:
+                on_phase_switch(epoch, frozen)
+            return solver._phase2_state(frozen)
 
         result = chunked_train(
             state=state, nepoch=nepoch,
             tol=float(self.config.get("tol", -1.0)),
             early_stop_mode="tol_or_count",
-            phase_boundaries=[change_point + 1],
-            phase_hook=phase_hook,
+            phase_boundaries=boundaries,
+            phase_hook=phase_hook if not in_phase2 else None,
             on_eval=on_eval, on_checkpoint=on_checkpoint,
-            nan_policy=nan_policy, verbose=verbose)
+            nan_policy=nan_policy, start_epoch=start_epoch,
+            min_err0=min_err0, error_increase_count0=error_increase_count0,
+            verbose=verbose)
         result.extras["base_params"] = base_holder.get("params")
         return result

@@ -48,8 +48,19 @@ class Solver1D:
         self.policy = (policy or default_policy()).activate()
         p = self.policy
 
+        # Refined tier ("dtype: refined"): hot-loop Grams/residuals at the
+        # wide (f64) tier, factorizations in fast native f32 with f64-residual
+        # refinement sweeps (ops/refined.py) — ~f64 forward error at ~f32
+        # cost. Replaces the reference's global float64
+        # (reference: code/kernel_matrix.py:6-7) on TPU.
+        self.wide_train = bool(p.refine_iters) and jax.config.jax_enable_x64
+
         self.X_col = jnp.asarray(problem.X_col, p.dtype)
         self.src = jnp.asarray(problem.src, p.dtype).reshape(-1, 1)
+        src64 = getattr(problem, "src64", None)
+        self.src_loss = (jnp.asarray(src64, jnp.float64).reshape(-1, 1)
+                         if self.wide_train and src64 is not None
+                         else self.src)
         self.bc_idx = np.asarray(problem.bc_idx)
         self.bc_vals = jnp.asarray(problem.bc_vals, p.dtype).reshape(-1)
         self.X_test = jnp.asarray(problem.X_test, p.dtype)
@@ -114,20 +125,23 @@ class Solver1D:
 
     def _K_and_Kd(self, kernel_paras, deriv: int = 2):
         """Covariance matrix (with jitter) and derivative cross-covariance —
-        the training-step hot pair, fused in Pallas on TPU."""
-        if self.use_pallas:
+        the training-step hot pair, fused in Pallas on TPU. In the refined
+        tier both are built at the wide (f64) tier."""
+        if self.use_pallas and not self.wide_train:
             from gphm_tpu.ops.pallas_gram import gram_pair_from_params
             return gram_pair_from_params(
                 self.kernel.name, self.X_col, kernel_paras, deriv=deriv,
                 jitter=self.jitter)
-        K = self.axis.gram(self.kernel, kernel_paras, jitter=self.jitter)
-        Kd = self.axis.gram(self.kernel, kernel_paras, deriv=deriv)
+        K = self.axis.gram(self.kernel, kernel_paras, jitter=self.jitter,
+                           wide=self.wide_train)
+        Kd = self.axis.gram(self.kernel, kernel_paras, deriv=deriv,
+                            wide=self.wide_train)
         return K, Kd
 
     def _factor(self, kernel_paras, solve_dtype=None):
         """Factor of K; with a wider ``solve_dtype`` the Gram itself is
         rebuilt at the wide tier (honest f64 entries, not an f32 cast)."""
-        wide = solve_dtype is not None
+        wide = solve_dtype is not None or self.wide_train
         K = self.axis.gram(self.kernel, kernel_paras, jitter=self.jitter,
                            wide=wide)
         if solve_dtype is not None:
@@ -135,16 +149,17 @@ class Solver1D:
         return policy_cholesky(K, self.policy)
 
     def _u_xx(self, kernel_paras, alpha):
-        K_dxx = self.axis.gram(self.kernel, kernel_paras, deriv=2)
+        K_dxx = self.axis.gram(self.kernel, kernel_paras, deriv=2,
+                               wide=self.wide_train)
         return K_dxx @ alpha
 
     def residual(self, u, u_xx):
         """PDE residual at collocation points
         (reference: code/model_GP_solver_1d.py:101-121)."""
         if self.eq_type == "poisson_1d":
-            return u_xx - self.src
+            return u_xx - self.src_loss
         if self.eq_type == "allencahn_1d":
-            return u_xx + u * (u ** 2 - 1) - self.src
+            return u_xx + u * (u ** 2 - 1) - self.src_loss
         raise NotImplementedError(self.eq_type)
 
     def gaps(self, params):
@@ -221,9 +236,14 @@ class Solver1D:
     def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
               on_eval=None, mode: str = "auto", on_checkpoint=None,
               nan_policy: str = "warn", init_state=None,
-              start_epoch: int = 0) -> TrainResult:
+              start_epoch: int = 0, min_err0: float = 2.0,
+              error_increase_count0: int = 0) -> TrainResult:
         if start_epoch or init_state is not None:
             mode = "chunked"  # resume keeps the absolute eval cadence
+        if on_checkpoint is not None or nan_policy == "raise":
+            # fused mode writes no rolling checkpoints and has no NaN guard:
+            # silently dropping either would betray the caller's intent
+            mode = "chunked"
         # seed only affects random u initializers (config['init_u']); with
         # the default zeros init the algorithm is fully deterministic (the
         # reference's loss likewise ignores its RNG key,
@@ -258,4 +278,5 @@ class Solver1D:
             early_stop_mode="off",
             on_eval=on_eval, on_checkpoint=on_checkpoint,
             nan_policy=nan_policy, start_epoch=start_epoch,
+            min_err0=min_err0, error_increase_count0=error_increase_count0,
             verbose=verbose)

@@ -50,9 +50,17 @@ class Solver2D:
         self.policy = (policy or default_policy()).activate()
         p = self.policy
 
+        # refined tier: wide hot-loop Grams/residuals + f32 factorization
+        # with f64-residual refinement (see Solver1D.__init__ / ops/refined.py)
+        self.wide_train = bool(p.refine_iters) and jax.config.jax_enable_x64
+
         self.x_col = jnp.asarray(problem.x_col, p.dtype)
         self.y_col = jnp.asarray(problem.y_col, p.dtype)
         self.src = jnp.asarray(problem.src, p.dtype)
+        src64 = getattr(problem, "src64", None)
+        self.src_loss = (jnp.asarray(src64, jnp.float64)
+                         if self.wide_train and src64 is not None
+                         else self.src)
         self.bc_vals = jnp.asarray(problem.bc_vals, p.dtype)
         self.x_test = jnp.asarray(problem.x_test, p.dtype)
         self.y_test = jnp.asarray(problem.y_test, p.dtype)
@@ -129,14 +137,17 @@ class Solver2D:
 
     # ------------------------------------------------------------------
     def _K_and_Kd(self, x, axis, kernel_paras):
-        """Per-dimension covariance + derivative cross-covariance."""
-        if self.use_pallas:
+        """Per-dimension covariance + derivative cross-covariance (wide
+        tier when refining)."""
+        if self.use_pallas and not self.wide_train:
             from gphm_tpu.ops.pallas_gram import gram_pair_from_params
             return gram_pair_from_params(
                 self.kernel.name, x, kernel_paras, deriv=self.deriv_order,
                 jitter=self.jitter)
-        K = axis.gram(self.kernel, kernel_paras, jitter=self.jitter)
-        Kd = axis.gram(self.kernel, kernel_paras, deriv=self.deriv_order)
+        K = axis.gram(self.kernel, kernel_paras, jitter=self.jitter,
+                      wide=self.wide_train)
+        Kd = axis.gram(self.kernel, kernel_paras, deriv=self.deriv_order,
+                       wide=self.wide_train)
         return K, Kd
 
     def _psd_solve(self, K, B):
@@ -176,11 +187,11 @@ class Solver2D:
 
     def residual(self, U, U_dx, U_dy):
         if self.eq_type == "poisson_2d":
-            return U_dx + U_dy - self.src
+            return U_dx + U_dy - self.src_loss
         if self.eq_type == "allencahn_2d":
-            return U_dx + U_dy + U * (U ** 2 - 1) - self.src
+            return U_dx + U_dy + U * (U ** 2 - 1) - self.src_loss
         if self.eq_type == "advection":
-            return self.beta * U_dx + U_dy - self.src
+            return self.beta * U_dx + U_dy - self.src_loss
         raise NotImplementedError(self.eq_type)
 
     def boundary_slice(self, U):
@@ -268,10 +279,13 @@ class Solver2D:
     def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
               on_eval=None, mode: str = "auto", on_checkpoint=None,
               nan_policy: str = "warn", init_state=None,
-              start_epoch: int = 0) -> TrainResult:
+              start_epoch: int = 0, min_err0: float = 2.0,
+              error_increase_count0: int = 0) -> TrainResult:
         del seed  # deterministic; see Solver1D.train
         if start_epoch or init_state is not None:
             mode = "chunked"  # resume keeps the absolute eval cadence
+        if on_checkpoint is not None or nan_policy == "raise":
+            mode = "chunked"  # fused has no checkpoints / NaN guard
         # early stopping is active only for Poisson/AC 2D with tol > 0
         # (code/model_GP_solver_2d.py:327-332); otherwise fuse the whole run
         stop_active = self.eq_type != "advection" \
@@ -305,4 +319,5 @@ class Solver2D:
             early_stop_mode=stop_mode,
             on_eval=on_eval, on_checkpoint=on_checkpoint,
             nan_policy=nan_policy, start_epoch=start_epoch,
+            min_err0=min_err0, error_increase_count0=error_increase_count0,
             verbose=verbose)

@@ -149,9 +149,10 @@ def _chol_fwd(K, block):
 
 def _chol_bwd(block, L, Lbar):
     P = _phi(L.T @ Lbar)
+    A = P + P.T
     # Kbar = (1/2) L^-T (P + P') L^-1   (symmetric by construction)
-    S = _blocked_lower_solve(L, P + P.T, block)          # L^-1 (P + P')
-    Kbar = _blocked_upper_solve(L.T, S.T, block)         # reuse: L^-T (...)'
+    Y = _blocked_upper_solve(L.T, A, block)       # L^-T (P + P')
+    Kbar = _blocked_upper_solve(L.T, Y.T, block)  # (A L^-1 solved from left)
     return (0.5 * Kbar,)
 
 

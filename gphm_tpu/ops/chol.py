@@ -23,6 +23,7 @@ factorization in the forward pass.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -51,6 +52,28 @@ class SPDFactor(NamedTuple):
         return 2.0 * jnp.sum(jnp.log(d), axis=-1)
 
 
+def use_blocked_f64(dtype, ndim: int = 2) -> bool:
+    """True when an f64 factorization must avoid lax.linalg custom calls.
+
+    Non-CPU backends emulate float64 in plain HLO (double-word passes), but
+    their dense Cholesky / triangular-solve *custom calls* do not support it:
+    on this TPU backend they crash the worker at N >= 400 inside scanned hot
+    loops (PARITY.md round-1 numerics notes). The blocked tier
+    (ops/blocked_linalg.py) is matmul/fori_loop-only HLO and inherits the
+    emulation, so every f64 factorization off-CPU routes through it.
+
+    Env override ``GPHM_BLOCKED_CHOLESKY=0/1`` forces the choice (used by
+    tests to exercise the blocked tier on CPU).
+    """
+    force = os.environ.get("GPHM_BLOCKED_CHOLESKY")
+    if force == "0":
+        return False
+    is_f64 = jnp.dtype(dtype) == jnp.float64
+    if force == "1":
+        return is_f64 and ndim == 2
+    return is_f64 and ndim == 2 and jax.default_backend() != "cpu"
+
+
 def robust_cholesky(K, base_jitter: float = 1e-6, growth: float = 100.0,
                     max_tries: int = 3) -> SPDFactor:
     """Cholesky with geometric jitter escalation on non-finite factors.
@@ -59,15 +82,28 @@ def robust_cholesky(K, base_jitter: float = 1e-6, growth: float = 100.0,
     the reference Gram builder, code/kernel_matrix.py:28); escalation adds
     more only when a probe factorization comes back non-finite.
     """
+    if use_blocked_f64(K.dtype, K.ndim):
+        from gphm_tpu.ops.blocked_linalg import (BlockedSPDFactor,
+                                                 cholesky as blocked_chol)
+
+        def chol_fn(A):
+            return blocked_chol(A, 64)
+
+        factor = BlockedSPDFactor
+    else:
+        chol_fn = jnp.linalg.cholesky
+
+        def factor(L, jitter_used):
+            return SPDFactor(L=L, jitter_used=jitter_used)
+
     if max_tries <= 0:
-        return SPDFactor(L=jnp.linalg.cholesky(K),
-                         jitter_used=jnp.zeros((), K.dtype))
+        return factor(chol_fn(K), jnp.zeros((), K.dtype))
 
     Kp = jax.lax.stop_gradient(K)
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)  # broadcasts over batch dims
 
     def probe_ok(extra):
-        return jnp.all(jnp.isfinite(jnp.linalg.cholesky(Kp + extra * eye)))
+        return jnp.all(jnp.isfinite(chol_fn(Kp + extra * eye)))
 
     levels = [0.0] + [base_jitter * growth ** (i + 1) for i in range(max_tries)]
 
@@ -82,14 +118,21 @@ def robust_cholesky(K, base_jitter: float = 1e-6, growth: float = 100.0,
             lambda: select(i + 1))
 
     extra = select(0)
-    L = jnp.linalg.cholesky(K + extra * eye)
-    return SPDFactor(L=L, jitter_used=extra)
+    L = chol_fn(K + extra * eye)
+    return factor(L, extra)
 
 
 def policy_cholesky(K, policy) -> SPDFactor:
     """robust_cholesky under a precision policy: factorizes in
     ``policy.solve_dtype`` when set (mixed precision), else in K's dtype.
-    Callers cast solve results back with ``SPDFactor.L.dtype`` vs params."""
+    Callers cast solve results back with ``SPDFactor.L.dtype`` vs params.
+
+    With ``policy.refine_iters > 0`` returns the refined factor instead
+    (f32 factorization + f64-residual refinement, ops/refined.py); callers
+    then pass K at the wide tier."""
+    if getattr(policy, "refine_iters", 0):
+        from gphm_tpu.ops.refined import refined_cholesky
+        return refined_cholesky(K, policy)
     if policy.solve_dtype is not None:
         K = K.astype(policy.solve_dtype)
     return robust_cholesky(K, policy.jitter, policy.jitter_growth,

@@ -41,6 +41,14 @@ class Policy:
     # non-finite values (aux robustness absent from the reference; SURVEY §5).
     jitter_growth: float = 100.0
     max_jitter_tries: int = 3
+    # > 0 enables the refined tier ("dtype: refined" in configs): Grams are
+    # built at the wide (f64) tier, factored in fast native float32, and
+    # solves run this many f64 PCG iterations preconditioned by the f32
+    # factor — ~f64 forward error at ~f32 cost (ops/refined.py). The
+    # TPU-native answer to the reference's global float64
+    # (reference: code/kernel_matrix.py:6-7). 8 reaches the f64 floor at
+    # the production conditioning (cond ~ 1e7).
+    refine_iters: int = 0
 
     def cast(self, x):
         return jax.tree_util.tree_map(

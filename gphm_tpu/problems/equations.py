@@ -131,6 +131,10 @@ class Problem1D:
     u_test: jax.Array     # (M,)
     X_col64: np.ndarray = None
     X_test64: np.ndarray = None
+    # authoritative wide source term (the values are O((2 pi f)^2) for
+    # high-frequency solutions, so their f32 cast carries ~0.01 absolute
+    # rounding — the refined tier computes residuals against this copy)
+    src64: jax.Array = None
 
     @property
     def solution(self) -> Callable:
@@ -155,6 +159,7 @@ class Problem2D:
     y_col64: np.ndarray = None
     x_test64: np.ndarray = None
     y_test64: np.ndarray = None
+    src64: jax.Array = None  # wide source (see Problem1D.src64)
 
 
 def make_problem(equation: str, N_col: int, scale: float, *, M: int = 300,
@@ -178,13 +183,14 @@ def make_problem(equation: str, N_col: int, scale: float, *, M: int = 300,
         Xc = jnp.asarray(X_col64)   # f64 when x64 is enabled
         Xt = jnp.asarray(X_test64)
         bc_idx = jnp.array([0, N_col - 1])
+        src_w = source_1d(u, Xc, eq_type)
         return Problem1D(
             equation=equation, eq_type=eq_type,
             X_col=Xc.astype(dtype), bc_idx=bc_idx,
             bc_vals=jnp.stack([u(Xc[0]), u(Xc[-1])]).astype(dtype),
-            src=source_1d(u, Xc, eq_type).astype(dtype),
+            src=src_w.astype(dtype),
             X_test=Xt.astype(dtype), u_test=u(Xt).astype(dtype),
-            X_col64=X_col64, X_test64=X_test64)
+            X_col64=X_col64, X_test64=X_test64, src64=src_w)
 
     if eq_type == "advection":
         u = make_advection_solution(beta)
@@ -204,12 +210,13 @@ def make_problem(equation: str, N_col: int, scale: float, *, M: int = 300,
     U_grid = u(xm, ym)
     xt, yt = jnp.meshgrid(x_test, y_test, indexing="ij")
 
+    src_w = source_2d(u, x_col, y_col, eq_type, beta)
     return Problem2D(
         equation=equation, eq_type=eq_type,
         x_col=x_col.astype(dtype), y_col=y_col.astype(dtype),
         bc_vals=boundary_values_2d(U_grid).astype(dtype),
-        src=source_2d(u, x_col, y_col, eq_type, beta).astype(dtype),
+        src=src_w.astype(dtype),
         x_test=x_test.astype(dtype), y_test=y_test.astype(dtype),
         u_test=u(xt, yt).astype(dtype), beta=beta,
         x_col64=x_col64, y_col64=y_col64,
-        x_test64=x_test64, y_test64=y_test64)
+        x_test64=x_test64, y_test64=y_test64, src64=src_w)

@@ -54,9 +54,12 @@ class RunConfig:
     jitter: float = 1e-6
     other_paras: str = ""
     # TPU-native extensions (not in the reference schema)
-    dtype: str = "float64"        # "float32" / "mixed" on TPU production
+    dtype: str = "float64"        # "float32" / "mixed" / "refined" on TPU
     solve: str = "cholesky"       # or "cg" for the large-grid path
     jitter_retries: int = 3       # Cholesky jitter-escalation probe depth
+    refine_iters: int = 8         # PCG iterations (dtype == "refined"):
+                                  # ~15x error contraction per iteration,
+                                  # 8 reaches the f64 floor at cond ~ 1e7
 
     @property
     def family(self) -> str:

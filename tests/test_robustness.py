@@ -93,11 +93,12 @@ def test_resume_equals_uninterrupted():
 
     saved = {}
 
-    def capture(epoch, params, opt_state):
+    def capture(epoch, params, opt_state, stats=None):
         if epoch <= 19:
             saved["state"] = (jax.tree_util.tree_map(jnp.copy, params),
                               jax.tree_util.tree_map(jnp.copy, opt_state))
             saved["epoch"] = epoch
+            saved["stats"] = dict(stats or {})
 
     solver.train(nepoch=40, verbose=False, mode="chunked",
                  on_checkpoint=capture)
