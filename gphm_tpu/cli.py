@@ -51,9 +51,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "f64-residual refinement (f64 accuracy at ~f32 "
                         "cost — for the hard high-frequency configs)")
     p.add_argument("--num-fold", type=int, default=None, dest="num_fold")
+    p.add_argument("--mesh", default=None,
+                   help="device mesh 'DPxTP' (e.g. 1x8, 2x4): training, "
+                        "eval and predict run SPMD-sharded — the latent "
+                        "grid on the model axis; the data axis runs "
+                        "--sweep variants concurrently")
+    p.add_argument("--sweep", default=None, dest="sweep",
+                   help="comma-separated freq_scale variants trained "
+                        "concurrently (data-parallel over the mesh's data "
+                        "axis), e.g. --sweep 10,20,40,80")
     p.add_argument("--out", default="result_log",
                    help="artifact directory (use '' to disable)")
     p.add_argument("--no-figures", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the JAX backend (this environment "
+                        "pre-registers the TPU plugin, so JAX_PLATFORMS in "
+                        "the shell is too late; this flag applies "
+                        "jax.config before any array op)")
     p.add_argument("--resume", action="store_true",
                    help="continue fold 0 from the run's rolling checkpoint")
     p.add_argument("--quiet", action="store_true")
@@ -62,10 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     overrides = dict(nepoch=args.nepoch, N_col=args.N_col, Q=args.Q,
                      lr=args.lr, dtype=args.dtype, num_fold=args.num_fold,
                      kernel=args.kernel, change_point=args.change_point,
-                     jitter=args.jitter)
+                     jitter=args.jitter, mesh=args.mesh)
     if args.extra:
         if args.equation not in EQUATIONS_1D:
             print("--extra is only supported for 1D equations",
@@ -73,6 +90,15 @@ def main(argv=None) -> int:
             return 2
         overrides["kernel_extra"] = args.kernel_extra
     config = load_config(args.equation, **overrides)
+
+    if args.sweep:
+        from gphm_tpu.experiment import run_sweep_experiment
+        freq_scales = [float(s) for s in args.sweep.split(",")]
+        errs = run_sweep_experiment(config, freq_scales,
+                                    verbose=not args.quiet)
+        for fs, e in zip(freq_scales, errs):
+            print(f"freq_scale {fs:g}: rel-L2 {e:.6g}")
+        return 0
 
     from gphm_tpu.experiment import run_experiment
     res = run_experiment(config, out_base=args.out or None,

@@ -92,6 +92,16 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                    resume: bool = False) -> ExperimentResult:
     nepoch = nepoch or config.nepoch
     solver = make_solver(config)
+    mesh = None
+    if config.mesh:
+        # SPMD product surface (SURVEY §2.4): '--mesh DPxTP' shards the
+        # latent grid over the model axis; training, eval and predict all
+        # compile against that sharding (GSPMD inserts the collectives)
+        from gphm_tpu.parallel.mesh import mesh_from_spec
+        mesh = mesh_from_spec(config.mesh)
+        if verbose:
+            print(f"mesh {config.mesh}: devices "
+                  f"{[d.id for d in mesh.devices.flat]}")
 
     directory = run_dir(out_base, config.equation, config.kernel,
                         config.kernel_extra, nepoch, config.Q) \
@@ -177,7 +187,7 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                   f"({nepoch} epochs)")
         res = solver.train(nepoch, seed=fold, verbose=verbose,
                            on_eval=on_eval, on_checkpoint=on_checkpoint,
-                           **extra_kw, **resume_kw)
+                           mesh=mesh, **extra_kw, **resume_kw)
         err_list.append(res.min_err)
         stop_epochs.append(res.early_stopping["epoch"])
         fold_results.append(res)
@@ -220,3 +230,31 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
         err_list=err_dict["err_list"],
         stop_epoch_mean=err_dict["stop_epoch_mean"], used_time=used,
         fold_results=fold_results)
+
+
+def run_sweep_experiment(config: RunConfig, freq_scales,
+                         *, nepoch: Optional[int] = None,
+                         verbose: bool = True):
+    """Train all freq_scale variants of one config concurrently.
+
+    Data parallelism as a product feature: the variant batch is vmapped and
+    sharded over the mesh's data axis (the reference runs such sweeps as
+    separate shell invocations, reference: code/run_1d.sh). Returns the
+    per-variant min rel-L2 array in freq_scales order.
+    """
+    from gphm_tpu.parallel.sweep import run_sweep, sweep_variants
+
+    nepoch = nepoch or config.nepoch
+    solver = make_solver(config)
+    mesh = None
+    if config.mesh:
+        from gphm_tpu.parallel.mesh import mesh_from_spec
+        mesh = mesh_from_spec(config.mesh)
+    batched = sweep_variants(solver, solver.init_params(),
+                             freq_scales=freq_scales)
+    start = time.time()
+    _, errs, _ = run_sweep(solver, batched, nepoch, mesh=mesh)
+    if verbose:
+        print(f"{len(freq_scales)} variants x {nepoch} epochs in "
+              f"{time.time() - start:.2f}s")
+    return errs

@@ -161,6 +161,12 @@ class Solver1DExtra(Solver1D):
             params_extra = solver.init_params_extra(base_params)
         if opt_state_extra is None:
             opt_state_extra = solver.optimizer_extra.init(params_extra)
+        mesh = getattr(self, "_train_mesh", None)
+        if mesh is not None:
+            from gphm_tpu.parallel.mesh import state_placer
+            place = state_placer(mesh, params_extra)
+            params_extra = place(params_extra)
+            opt_state_extra = place(opt_state_extra)
         return TrainState(
             params=params_extra,
             opt_state=opt_state_extra,
@@ -175,7 +181,7 @@ class Solver1DExtra(Solver1D):
               nan_policy: str = "warn", init_state=None,
               start_epoch: int = 0, base_params=None,
               on_phase_switch=None, min_err0: float = 2.0,
-              error_increase_count0: int = 0) -> TrainResult:
+              error_increase_count0: int = 0, mesh=None) -> TrainResult:
         """Two-phase training; resumable in either phase.
 
         Resume semantics (absent from the reference, which has no resume at
@@ -188,6 +194,7 @@ class Solver1DExtra(Solver1D):
         del seed  # deterministic; phase-1/2 losses ignore their RNG keys
         change_point = int(nepoch * float(self.config["change_point"]))
         solver = self
+        self._train_mesh = mesh  # picked up by _phase2_state at the switch
         base_holder = {}
         in_phase2 = start_epoch > change_point
 
@@ -206,10 +213,15 @@ class Solver1DExtra(Solver1D):
         else:
             params = (init_state[0] if init_state
                       else self.init_params())
+            opt_state = (init_state[1] if init_state
+                         else self.optimizer.init(params))
+            if mesh is not None:
+                from gphm_tpu.parallel.mesh import state_placer
+                place = state_placer(mesh, params)
+                params, opt_state = place(params), place(opt_state)
             state = TrainState(
                 params=params,
-                opt_state=(init_state[1] if init_state
-                           else self.optimizer.init(params)),
+                opt_state=opt_state,
                 run_chunk=make_chunk_runner(self._loss, self.optimizer),
                 eval_fn=self.eval_err,
                 criterion_fn=self.criterion,

@@ -237,12 +237,17 @@ class Solver1D:
               on_eval=None, mode: str = "auto", on_checkpoint=None,
               nan_policy: str = "warn", init_state=None,
               start_epoch: int = 0, min_err0: float = 2.0,
-              error_increase_count0: int = 0) -> TrainResult:
+              error_increase_count0: int = 0, mesh=None) -> TrainResult:
         if start_epoch or init_state is not None:
             mode = "chunked"  # resume keeps the absolute eval cadence
         if on_checkpoint is not None or nan_policy == "raise":
             # fused mode writes no rolling checkpoints and has no NaN guard:
             # silently dropping either would betray the caller's intent
+            mode = "chunked"
+        if mesh is not None:
+            # sharded training (SURVEY §2.4 TP): the latent vector is
+            # committed to the mesh's model axis and every jitted stage
+            # (chunk runner, eval, predict) compiles against that sharding
             mode = "chunked"
         # seed only affects random u initializers (config['init_u']); with
         # the default zeros init the algorithm is fully deterministic (the
@@ -263,10 +268,15 @@ class Solver1D:
                                nepoch=nepoch, verbose=verbose,
                                on_eval=on_eval)
         params = init_state[0] if init_state else self.init_params(seed)
+        opt_state = (init_state[1] if init_state
+                     else self.optimizer.init(params))
+        if mesh is not None:
+            from gphm_tpu.parallel.mesh import state_placer
+            place = state_placer(mesh, params)
+            params, opt_state = place(params), place(opt_state)
         state = TrainState(
             params=params,
-            opt_state=(init_state[1] if init_state
-                       else self.optimizer.init(params)),
+            opt_state=opt_state,
             run_chunk=make_chunk_runner(self._loss, self.optimizer),
             eval_fn=self.eval_err,
             criterion_fn=self.criterion,

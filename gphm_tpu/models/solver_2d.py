@@ -111,17 +111,34 @@ class Solver2D:
         self.use_pallas = False if mode == "auto" else bool(mode) and ok
 
         # solve mode: "cholesky" (dense factors, exact logdet — reference
-        # parity) or "cg" (factorization-free Kronecker-matvec path for
-        # beyond-reference grids; requires logdet=False since no factor
-        # exists to read the determinant from)
+        # parity) or "cg" (Kronecker-matvec CG path for beyond-reference
+        # grids). CG is preconditioned by a fast f32 Cholesky factor by
+        # default (config cg_precond) — unpreconditioned f32 CG diverges at
+        # the production conditioning (cond(K) ~ 1e7; NaN at 512^2, round-1
+        # PARITY) while PCG contracts ~15x/iteration (ops/refined.py). The
+        # factor also supplies the log-determinant (value from its diagonal,
+        # gradient K^-1 via PCG), so preconditioned CG optimizes the SAME
+        # objective as the dense path — logdet no longer has to be disabled.
+        # cg_precond=False keeps the strictly factorization-free operator
+        # (requires logdet=False; use ops/slq.py for a stochastic logdet).
         self.solve_mode = str(config.get("solve", "cholesky"))
         self.cg_tol = float(config.get("cg_tol", 1e-6))
         self.cg_maxiter = int(config.get("cg_maxiter", 1000))
-        if self.solve_mode == "cg" and self.logdet_flag:
+        self.cg_precond = bool(config.get("cg_precond", True))
+        self.cg_iters = int(config.get(
+            "cg_iters", p.refine_iters if p.refine_iters else 4))
+        # logdet_mode: "exact" (from a factor) or "slq" (stochastic Lanczos
+        # quadrature, ops/slq.py) — the strictly matvec-only completion for
+        # unpreconditioned CG
+        self.logdet_mode = str(config.get("logdet_mode", "exact"))
+        self.slq_probes = int(config.get("slq_probes", 8))
+        self.slq_iters = int(config.get("slq_iters", 30))
+        if self.solve_mode == "cg" and self.logdet_flag \
+                and not self.cg_precond and self.logdet_mode != "slq":
             raise ValueError(
-                "solve='cg' requires logdet=False: the factorization-free "
-                "path has no Cholesky factor to take the log-determinant "
-                "from (set logdet: false in the config)")
+                "solve='cg' with cg_precond=False has no factor for an "
+                "exact log-determinant: set logdet: false, keep "
+                "cg_precond: true, or set logdet_mode: 'slq'")
 
         # predict-time solves are widened to f64 when x64 is live (see
         # Solver1D.__init__: f32 predict solves can misreport a correctly
@@ -151,9 +168,40 @@ class Solver2D:
         return K, Kd
 
     def _psd_solve(self, K, B):
-        """K^-1 B under the configured solve mode. Returns (X, logdet) where
-        logdet is None in CG mode (factorization-free)."""
+        """K^-1 B under the configured solve mode. Returns (X, logdet);
+        logdet is None only for unpreconditioned CG (no factor exists)."""
         if self.solve_mode == "cg":
+            if not self.cg_precond and self.logdet_flag \
+                    and self.logdet_mode == "slq":
+                # matvec-only tier: CG solve + stochastic Lanczos-quadrature
+                # logdet on fixed Rademacher probes (ops/slq.py)
+                from gphm_tpu.ops.cg import psd_solve_cg
+                from gphm_tpu.ops.slq import rademacher_probes, slq_logdet
+                X = psd_solve_cg(K, B, self.cg_tol, self.cg_maxiter)
+                Z = rademacher_probes(K.shape[-1], self.slq_probes, K.dtype)
+                ld = slq_logdet(K, Z, self.slq_iters, self.cg_tol,
+                                self.cg_maxiter)
+                return X, ld
+            if self.cg_precond:
+                # f32-factor-preconditioned CG at K's dtype: fixed iteration
+                # count (jit-friendly), implicit-diff gradients; the factor
+                # doubles as the exact logdet source (ops/refined.py)
+                from gphm_tpu.ops.chol import robust_cholesky
+                from gphm_tpu.ops.refined import (explicit_inverse,
+                                                  pcg_logdet, pcg_solve)
+                inner = robust_cholesky(
+                    K.astype(jnp.float32), base_jitter=self.policy.jitter,
+                    growth=self.policy.jitter_growth,
+                    max_tries=self.policy.max_jitter_tries)
+                K_adj = K + inner.jitter_used.astype(K.dtype) \
+                    * jnp.eye(K.shape[-1], dtype=K.dtype)
+                Linv = explicit_inverse(inner.L)
+                X = pcg_solve(K_adj, Linv, B.astype(K.dtype), self.cg_iters)
+                ld = None
+                if self.logdet_flag:
+                    ld32 = inner.logdet().astype(K.dtype)
+                    ld = pcg_logdet(K_adj, ld32, Linv, self.cg_iters)
+                return X, ld
             from gphm_tpu.ops.cg import psd_solve_cg
             return psd_solve_cg(K, B, self.cg_tol, self.cg_maxiter), None
         F = policy_cholesky(K, self.policy)
@@ -211,7 +259,7 @@ class Solver2D:
         U = params["U"]
         ld1, ld2, K1inv_U, K2inv_Ut, boundary_gap, eq_gap = self.gaps(params)
         # Kronecker prior (reference: code/model_GP_solver_2d.py:157-162);
-        # in CG mode the logdet terms are disabled by construction
+        # ld is None only for unpreconditioned CG (logdet=False enforced)
         if ld1 is None:
             log_prior = -0.5 * jnp.sum(K1inv_U * K2inv_Ut.T)
         else:
@@ -280,12 +328,18 @@ class Solver2D:
               on_eval=None, mode: str = "auto", on_checkpoint=None,
               nan_policy: str = "warn", init_state=None,
               start_epoch: int = 0, min_err0: float = 2.0,
-              error_increase_count0: int = 0) -> TrainResult:
+              error_increase_count0: int = 0, mesh=None) -> TrainResult:
         del seed  # deterministic; see Solver1D.train
         if start_epoch or init_state is not None:
             mode = "chunked"  # resume keeps the absolute eval cadence
         if on_checkpoint is not None or nan_policy == "raise":
             mode = "chunked"  # fused has no checkpoints / NaN guard
+        if mesh is not None:
+            # sharded training (SURVEY §2.4 TP): U columns are committed to
+            # the mesh's model axis; the lifts (K_d K^-1 U) are
+            # column-parallel, and GSPMD inserts the ICI all-gathers for the
+            # row-space contractions (U @ K2-style products)
+            mode = "chunked"
         # early stopping is active only for Poisson/AC 2D with tol > 0
         # (code/model_GP_solver_2d.py:327-332); otherwise fuse the whole run
         stop_active = self.eq_type != "advection" \
@@ -300,10 +354,15 @@ class Solver2D:
             return fused_train(solver=self, nepoch=nepoch, verbose=verbose,
                                on_eval=on_eval)
         params = init_state[0] if init_state else self.init_params()
+        opt_state = (init_state[1] if init_state
+                     else self.optimizer.init(params))
+        if mesh is not None:
+            from gphm_tpu.parallel.mesh import state_placer
+            place = state_placer(mesh, params)
+            params, opt_state = place(params), place(opt_state)
         state = TrainState(
             params=params,
-            opt_state=(init_state[1] if init_state
-                       else self.optimizer.init(params)),
+            opt_state=opt_state,
             run_chunk=make_chunk_runner(self._loss, self.optimizer),
             eval_fn=self.eval_err,
             criterion_fn=self.criterion,

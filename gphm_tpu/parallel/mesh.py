@@ -42,6 +42,53 @@ def make_mesh(shape: Sequence[int] = None,
     return Mesh(devices.reshape(shape), axis_names)
 
 
+def mesh_from_spec(spec: str, devices=None) -> Mesh:
+    """Product-surface mesh: parse a ``--mesh DPxTP`` string ('2x4', '1x8')
+    into a (data, model) mesh over the first DP*TP visible devices."""
+    try:
+        dp, tp = (int(s) for s in spec.lower().split("x"))
+    except ValueError:
+        raise ValueError(
+            f"mesh spec must be 'DPxTP' (e.g. '1x8', '2x4'); got {spec!r}")
+    devices = list(devices if devices is not None else jax.devices())
+    if dp * tp > len(devices):
+        raise ValueError(f"mesh {spec} needs {dp * tp} devices; "
+                         f"{len(devices)} visible")
+    return make_mesh((dp, tp), devices=devices[:dp * tp])
+
+
+def state_placer(mesh: Mesh, params: dict):
+    """Placement function for a training run on ``mesh``.
+
+    The latent function values (the only large parameter — ``U`` (N1, N2)
+    for the 2D/advection families, ``u`` (N, 1) for 1D) go on the model
+    axis; every other leaf (mixture hyperparameters, noise precisions, Adam
+    scalars) is replicated. The returned ``place(tree)`` works on any tree
+    whose large leaves are param-shaped — params themselves and Adam's
+    mu/nu mirrors — so a single placer commits the whole optimizer state.
+
+    Once inputs are committed, plain ``jax.jit`` (the chunk runner, eval,
+    predict) compiles against those shardings and GSPMD inserts the ICI
+    collectives — the scaling-book recipe; no explicit collectives anywhere.
+    """
+    repl = NamedSharding(mesh, P())
+    by_shape = {}
+    if "U" in params:                      # 2D grid: shard columns
+        by_shape[tuple(params["U"].shape)] = NamedSharding(
+            mesh, P(None, "model"))
+    if "u" in params:                      # 1D latent: shard rows
+        spec = P("model") if params["u"].ndim == 1 else P("model", None)
+        by_shape[tuple(params["u"].shape)] = NamedSharding(mesh, spec)
+
+    def place(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, by_shape.get(tuple(getattr(x, "shape", ())), repl)),
+            tree)
+
+    return place
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -36,10 +36,11 @@ def sweep_variants(solver, base_params, *, freq_scales=None, seeds=None):
     variants = []
     if freq_scales is not None:
         base_fs = float(solver.config["freq_scale"])
+        kp_keys = [k for k in base_params if k.startswith("kernel_paras")]
         for fs in freq_scales:
             p = jax.tree_util.tree_map(jnp.copy, base_params)
-            p["kernel_paras"]["freq"] = (
-                base_params["kernel_paras"]["freq"] * (fs / base_fs))
+            for k in kp_keys:   # 1D: kernel_paras; 2D: kernel_paras_{1,2}
+                p[k]["freq"] = base_params[k]["freq"] * (fs / base_fs)
             variants.append(p)
     elif seeds is not None:
         for s in seeds:

@@ -49,6 +49,12 @@ class Policy:
     # (reference: code/kernel_matrix.py:6-7). 8 reaches the f64 floor at
     # the production conditioning (cond ~ 1e7).
     refine_iters: int = 0
+    # PCG iterations for the logdet *gradient* (None = refine_iters). The
+    # logdet gradient is the only matrix-RHS PCG in a refined step (K^-1 on
+    # the identity: measured 34 of 52 ms at N=400); 0 uses the f32-factor
+    # inverse instead — the logdet term is a smooth regularizer, so its
+    # gradient tolerates f32 accuracy while the data-fit terms stay refined.
+    refine_logdet_iters: Any = None
 
     def cast(self, x):
         return jax.tree_util.tree_map(

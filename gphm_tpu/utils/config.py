@@ -60,6 +60,9 @@ class RunConfig:
     refine_iters: int = 8         # PCG iterations (dtype == "refined"):
                                   # ~15x error contraction per iteration,
                                   # 8 reaches the f64 floor at cond ~ 1e7
+    mesh: str = ""                # "DPxTP" device mesh ('1x8', '2x4'):
+                                  # latent grid sharded on the model axis,
+                                  # data axis for concurrent sweeps
 
     @property
     def family(self) -> str:

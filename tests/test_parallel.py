@@ -131,3 +131,104 @@ def test_dp_sweep_matches_sequential():
         p, o, _ = step(p, o)
     np.testing.assert_allclose(float(solver.eval_err(p)), errs[1],
                                rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Product surface: mesh-sharded *training runs* (VERDICT round-1 item #5) —
+# solver.train(mesh=...) / run_experiment(config.mesh) execute the full
+# chunked protocol (multi-eval, checkpoints, early stopping) sharded, and the
+# trajectory matches single-device execution.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_mesh_train_2d_trajectory_matches_unsharded():
+    mesh = make_mesh((2, 4))
+    res_ref = make_solver(16).train(40, verbose=False, mode="chunked")
+    res = make_solver(16).train(40, verbose=False, mesh=mesh)
+
+    assert res.log["epoch_list"] == res_ref.log["epoch_list"]
+    assert len(res.log["err_list"]) == 20
+    np.testing.assert_allclose(res.log["err_list"], res_ref.log["err_list"],
+                               rtol=1e-10)
+    np.testing.assert_allclose(res.log["loss_list"], res_ref.log["loss_list"],
+                               rtol=1e-10)
+    np.testing.assert_allclose(res.min_err, res_ref.min_err, rtol=1e-10)
+    # final params really live sharded on the mesh
+    assert len(res.params["U"].sharding.device_set) == 8
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_mesh_train_1d_trajectory_matches_unsharded():
+    from gphm_tpu.models.solver_1d import Solver1D
+
+    def solver():
+        prob = make_problem("poisson_1d-single_sin", N_col=32,
+                            scale=2 * np.pi)
+        return Solver1D(prob, "Matern52_Cos_1d", dict(CFG, Q=4), POLICY)
+
+    mesh = make_mesh((1, 8))
+    res_ref = solver().train(40, verbose=False, mode="chunked")
+    res = solver().train(40, verbose=False, mesh=mesh)
+    np.testing.assert_allclose(res.log["err_list"], res_ref.log["err_list"],
+                               rtol=1e-10)
+    np.testing.assert_allclose(res.log["loss_list"], res_ref.log["loss_list"],
+                               rtol=1e-10)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_mesh_train_extra_two_gp_across_phase_switch():
+    """The two-GP solver keeps its sharding through the phase switch (the
+    phase-2 state is rebuilt and re-placed on the same mesh)."""
+    from gphm_tpu.models.extra import Solver1DExtra
+
+    def solver():
+        prob = make_problem("poisson_1d-single_sin", N_col=32,
+                            scale=2 * np.pi)
+        return Solver1DExtra(prob, "Matern52_Cos_1d",
+                             dict(CFG, Q=4, change_point=0.5), POLICY)
+
+    mesh = make_mesh((2, 4))
+    res_ref = solver().train(40, verbose=False)
+    res = solver().train(40, verbose=False, mesh=mesh)
+    np.testing.assert_allclose(res.log["err_list"], res_ref.log["err_list"],
+                               rtol=1e-10)
+    np.testing.assert_allclose(res.min_err, res_ref.min_err, rtol=1e-10)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_run_experiment_with_mesh_config(tmp_path):
+    """CLI-level reachability: config.mesh drives a sharded run_experiment
+    (checkpoints, metrics and figures-off path all live)."""
+    from gphm_tpu.experiment import run_experiment
+    from gphm_tpu.utils.config import load_config
+
+    kw = dict(N_col=16, nepoch=40, Q=4, dtype="float64")
+    res_ref = run_experiment(load_config("poisson_2d-sin_sin", **kw),
+                             out_base=None, verbose=False, figures=False)
+    res = run_experiment(load_config("poisson_2d-sin_sin", mesh="2x4", **kw),
+                         out_base=str(tmp_path), verbose=False, figures=False)
+    np.testing.assert_allclose(res.err_mean, res_ref.err_mean, rtol=1e-10)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_run_sweep_experiment_product_surface():
+    from gphm_tpu.experiment import run_sweep_experiment
+    from gphm_tpu.utils.config import load_config
+
+    cfg = load_config("poisson_1d-single_sin", N_col=24, Q=4,
+                      dtype="float64", mesh="4x2")
+    errs = run_sweep_experiment(cfg, [10.0, 20.0, 30.0, 40.0], nepoch=30,
+                                verbose=False)
+    assert errs.shape == (4,) and np.isfinite(errs).all()
+
+
+def test_mesh_from_spec_validation():
+    from gphm_tpu.parallel.mesh import mesh_from_spec
+
+    with pytest.raises(ValueError):
+        mesh_from_spec("nonsense")
+    with pytest.raises(ValueError):
+        mesh_from_spec("99x99")
+    m = mesh_from_spec("1x2")
+    assert m.devices.shape == (1, 2)
+    assert m.axis_names == ("data", "model")

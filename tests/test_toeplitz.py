@@ -115,3 +115,24 @@ def test_extra_solver_toeplitz_smoke():
     assert s.toeplitz
     res = s.train(nepoch=40, verbose=False)
     assert np.isfinite(res.min_err)
+
+
+def test_toeplitz_expand_custom_vjp_matches_scatter():
+    """The scatter-free backward (pad + gather + reduce diagonal sums)
+    produces exactly the gather's autodiff cotangent."""
+    import jax
+    from gphm_tpu.ops.gram import make_toeplitz_expand
+
+    N = 23
+    expand = make_toeplitz_expand(N)
+    i = np.arange(N)
+    idx = jnp.asarray((i[:, None] - i[None, :]) + (N - 1), jnp.int32)
+    kv = jnp.asarray(np.random.default_rng(0).normal(size=2 * N - 1))
+    W = jnp.asarray(np.random.default_rng(1).normal(size=(N, N)))
+
+    np.testing.assert_array_equal(np.asarray(expand(kv)),
+                                  np.asarray(jnp.take(kv, idx, axis=0)))
+    g_custom = jax.grad(lambda v: jnp.sum(W * expand(v)))(kv)
+    g_ref = jax.grad(lambda v: jnp.sum(W * jnp.take(v, idx, axis=0)))(kv)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
+                               rtol=1e-13, atol=1e-13)
