@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "refined = f64 Grams + f32 factorization + "
                         "f64-residual refinement (f64 accuracy at ~f32 "
                         "cost — for the hard high-frequency configs)")
+    p.add_argument("--dtype-schedule", default=None, dest="dtype_schedule",
+                   help="progressive precision schedule, e.g. "
+                        "'float32:0.9,refined:0.1' — train most of the "
+                        "budget at f32 speed, then descend below the f32 "
+                        "error floor with a refined-precision tail")
     p.add_argument("--num-fold", type=int, default=None, dest="num_fold")
     p.add_argument("--mesh", default=None,
                    help="device mesh 'DPxTP' (e.g. 1x8, 2x4): training, "
@@ -82,7 +87,8 @@ def main(argv=None) -> int:
     overrides = dict(nepoch=args.nepoch, N_col=args.N_col, Q=args.Q,
                      lr=args.lr, dtype=args.dtype, num_fold=args.num_fold,
                      kernel=args.kernel, change_point=args.change_point,
-                     jitter=args.jitter, mesh=args.mesh)
+                     jitter=args.jitter, mesh=args.mesh,
+                     dtype_schedule=args.dtype_schedule)
     if args.extra:
         if args.equation not in EQUATIONS_1D:
             print("--extra is only supported for 1D equations",

@@ -242,6 +242,10 @@ def chunked_train(
                                                # resume restores them
     nan_policy: str = "warn",                # "warn" | "raise"
     start_epoch: int = 0,
+    stop_epoch: Optional[int] = None,        # run [start_epoch, stop_epoch)
+                                             # of the nepoch-budget protocol
+                                             # (precision schedules / tests);
+                                             # eval cadence stays absolute
     min_err0: float = 2.0,                   # resume: pre-crash running min
     error_increase_count0: int = 0,
     verbose: bool = True,
@@ -259,10 +263,11 @@ def chunked_train(
     evals = eval_epochs(nepoch)
     eval_set = set(e for e in evals if e >= start_epoch)
 
+    end = nepoch if stop_epoch is None else min(int(stop_epoch), nepoch)
     targets = sorted(set(
-        [e + 1 for e in evals] + [nepoch]
-        + [b for b in (phase_boundaries or []) if 0 < b < nepoch]))
-    targets = [t for t in targets if t > start_epoch]
+        [e + 1 for e in evals] + [end]
+        + [b for b in (phase_boundaries or []) if 0 < b < end]))
+    targets = [t for t in targets if start_epoch < t <= end]
 
     start = time.time()
     log: Dict[str, List] = {"loss_list": [], "err_list": [], "epoch_list": []}
@@ -354,4 +359,6 @@ def chunked_train(
     return TrainResult(params=state.params, opt_state=state.opt_state,
                        log=log, min_err=min_err,
                        early_stopping=early_stopping,
-                       wall_time=time.time() - start)
+                       wall_time=time.time() - start,
+                       extras={"error_increase_count": error_increase_count,
+                               "last_epoch": epoch})

@@ -181,7 +181,8 @@ class Solver1DExtra(Solver1D):
               nan_policy: str = "warn", init_state=None,
               start_epoch: int = 0, base_params=None,
               on_phase_switch=None, min_err0: float = 2.0,
-              error_increase_count0: int = 0, mesh=None) -> TrainResult:
+              error_increase_count0: int = 0, mesh=None,
+              stop_epoch=None) -> TrainResult:
         """Two-phase training; resumable in either phase.
 
         Resume semantics (absent from the reference, which has no resume at
@@ -248,6 +249,7 @@ class Solver1DExtra(Solver1D):
             phase_hook=phase_hook if not in_phase2 else None,
             on_eval=on_eval, on_checkpoint=on_checkpoint,
             nan_policy=nan_policy, start_epoch=start_epoch,
+            stop_epoch=stop_epoch,
             min_err0=min_err0, error_increase_count0=error_increase_count0,
             verbose=verbose)
         result.extras["base_params"] = base_holder.get("params")

@@ -75,7 +75,7 @@ class Solver1D:
         phase_exact = bool(config.get("phase_exact", True))
         self.axis = AxisGram(
             self.X_col, p.dtype, x64=getattr(problem, "X_col64", None),
-            toeplitz=config.get("toeplitz", True), phase_exact=phase_exact)
+            toeplitz=config.get("toeplitz", "auto"), phase_exact=phase_exact)
         self.cross = CrossGram(
             self.X_test, self.X_col, p.dtype,
             x1_64=getattr(problem, "X_test64", None),
@@ -237,8 +237,9 @@ class Solver1D:
               on_eval=None, mode: str = "auto", on_checkpoint=None,
               nan_policy: str = "warn", init_state=None,
               start_epoch: int = 0, min_err0: float = 2.0,
-              error_increase_count0: int = 0, mesh=None) -> TrainResult:
-        if start_epoch or init_state is not None:
+              error_increase_count0: int = 0, mesh=None,
+              stop_epoch=None) -> TrainResult:
+        if start_epoch or init_state is not None or stop_epoch is not None:
             mode = "chunked"  # resume keeps the absolute eval cadence
         if on_checkpoint is not None or nan_policy == "raise":
             # fused mode writes no rolling checkpoints and has no NaN guard:
@@ -288,5 +289,6 @@ class Solver1D:
             early_stop_mode="off",
             on_eval=on_eval, on_checkpoint=on_checkpoint,
             nan_policy=nan_policy, start_epoch=start_epoch,
+            stop_epoch=stop_epoch,
             min_err0=min_err0, error_increase_count0=error_increase_count0,
             verbose=verbose)

@@ -75,7 +75,7 @@ class Solver2D:
         # two-float lags for exact-phase f32 training, f64 lags for honest
         # evals (see ops/gram.AxisGram and Solver1D)
         from gphm_tpu.ops.gram import AxisGram, CrossGram
-        use_toe = config.get("toeplitz", True)
+        use_toe = config.get("toeplitz", "auto")
         phase_exact = bool(config.get("phase_exact", True))
         self.axis1 = AxisGram(
             self.x_col, p.dtype, x64=getattr(problem, "x_col64", None),
@@ -328,9 +328,10 @@ class Solver2D:
               on_eval=None, mode: str = "auto", on_checkpoint=None,
               nan_policy: str = "warn", init_state=None,
               start_epoch: int = 0, min_err0: float = 2.0,
-              error_increase_count0: int = 0, mesh=None) -> TrainResult:
+              error_increase_count0: int = 0, mesh=None,
+              stop_epoch=None) -> TrainResult:
         del seed  # deterministic; see Solver1D.train
-        if start_epoch or init_state is not None:
+        if start_epoch or init_state is not None or stop_epoch is not None:
             mode = "chunked"  # resume keeps the absolute eval cadence
         if on_checkpoint is not None or nan_policy == "raise":
             mode = "chunked"  # fused has no checkpoints / NaN guard
@@ -378,5 +379,6 @@ class Solver2D:
             early_stop_mode=stop_mode,
             on_eval=on_eval, on_checkpoint=on_checkpoint,
             nan_policy=nan_policy, start_epoch=start_epoch,
+            stop_epoch=stop_epoch,
             min_err0=min_err0, error_increase_count0=error_increase_count0,
             verbose=verbose)

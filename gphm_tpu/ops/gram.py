@@ -141,7 +141,7 @@ class AxisGram:
     (reference: code/kernel_matrix.py:21-30).
     """
 
-    def __init__(self, x, dtype, *, x64=None, toeplitz: bool = True,
+    def __init__(self, x, dtype, *, x64=None, toeplitz="auto",
                  phase_exact: bool = True):
         x_arr = np.asarray(x)
         xd = np.asarray(x64, np.float64) if x64 is not None \
@@ -153,6 +153,15 @@ class AxisGram:
         self.phase_exact = bool(phase_exact) and dtype == jnp.float32
         wide_ok = bool(jax.config.jax_enable_x64)
 
+        if toeplitz == "auto":
+            # Toeplitz (O(NQ) lag evals + gather) wins on CPU, where
+            # transcendentals dominate. On TPU the gather IS the bottleneck:
+            # measured 8.35 ms/epoch vs 1.37 ms for the dense O(N^2 Q)
+            # broadcast at N=400/Q=30 f32 (even with the scatter-free VJP) —
+            # the VPU evaluates 4.8M kernel entries faster than the memory
+            # system serves a 160k-element gather. So: lag representation on
+            # CPU, dense differences on accelerators.
+            toeplitz = jax.default_backend() == "cpu"
         h = uniform_spacing(xd) if toeplitz else None
         self.toeplitz = h is not None
         if self.toeplitz:

@@ -63,6 +63,10 @@ class RunConfig:
     mesh: str = ""                # "DPxTP" device mesh ('1x8', '2x4'):
                                   # latent grid sharded on the model axis,
                                   # data axis for concurrent sweeps
+    dtype_schedule: str = ""      # progressive precision, e.g.
+                                  # "float32:0.9,refined:0.1": bulk of the
+                                  # budget at f32 speed, refined tail
+                                  # descends below the f32 error floor
 
     @property
     def family(self) -> str:

@@ -133,3 +133,66 @@ def test_float64_config_actually_runs_float64():
     solver = make_solver(cfg)
     assert solver.init_params()["u"].dtype == jnp.float64
     assert solver.X_col.dtype == jnp.float64
+
+
+# ---------------------------------------------------------------------------
+# Progressive precision schedules (dtype_schedule)
+# ---------------------------------------------------------------------------
+
+def test_parse_schedule():
+    from gphm_tpu.experiment import parse_schedule
+
+    assert parse_schedule("float32:0.9,refined:0.1", 1000000) == \
+        [("float32", 900000), ("refined", 1000000)]
+    with pytest.raises(ValueError, match="sum to 1"):
+        parse_schedule("float32:0.5,refined:0.1", 100)
+
+
+def test_schedule_segments_are_lossless(tmp_path):
+    """A same-dtype two-segment schedule must reproduce the single-run
+    trajectory exactly: the handoff carries params, Adam state, min-error
+    tracking, and the absolute eval cadence."""
+    kw = dict(N_col=48, nepoch=40, Q=4, scale=float(2 * np.pi))
+    ref = run_experiment(load_config("poisson_1d-single_sin",
+                                     dtype="float64", **kw),
+                         out_base=None, verbose=False, figures=False)
+    sched = run_experiment(
+        load_config("poisson_1d-single_sin", dtype="float64",
+                    dtype_schedule="float64:0.4,float64:0.6", **kw),
+        out_base=str(tmp_path), verbose=False, figures=False)
+    r, s = ref.fold_results[0], sched.fold_results[0]
+    assert s.log["epoch_list"] == r.log["epoch_list"]
+    np.testing.assert_allclose(s.log["err_list"], r.log["err_list"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(sched.err_mean, ref.err_mean, rtol=1e-12)
+
+
+def test_schedule_f32_to_refined_improves_floor():
+    """The product scenario in miniature: an f32 bulk + refined tail ends at
+    the refined tier and its evals run there (finite, not worse than f32)."""
+    kw = dict(N_col=48, nepoch=40, Q=4, scale=float(2 * np.pi))
+    res = run_experiment(
+        load_config("poisson_1d-single_sin", dtype_schedule="float32:0.5,refined:0.5", **kw),
+        out_base=None, verbose=False, figures=False)
+    r = res.fold_results[0]
+    assert np.isfinite(r.log["err_list"]).all()
+    assert r.extras["segments"] == [("float32", 20), ("refined", 40)]
+    assert len(r.log["err_list"]) == 20
+
+
+def test_schedule_two_gp_across_phase_switch(tmp_path):
+    """Schedule boundary after the two-GP change point: the frozen base GP
+    hands off between segments and phase 2 resumes in the new tier."""
+    cfg = load_config("poisson_1d-x2_add_sinx", N_col=48, nepoch=40, Q=4,
+                      kernel_extra="Matern52_1d", change_point=0.25,
+                      dtype_schedule="float64:0.5,float64:0.5")
+    ref_cfg = load_config("poisson_1d-x2_add_sinx", N_col=48, nepoch=40, Q=4,
+                          kernel_extra="Matern52_1d", change_point=0.25,
+                          dtype="float64")
+    ref = run_experiment(ref_cfg, out_base=None, verbose=False, figures=False)
+    sched = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                           figures=False)
+    r, s = ref.fold_results[0], sched.fold_results[0]
+    np.testing.assert_allclose(s.log["err_list"], r.log["err_list"],
+                               rtol=1e-12)
+    assert s.extras["base_params"] is not None
