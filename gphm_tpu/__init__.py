@@ -1,6 +1,6 @@
 """gphm_tpu — TPU-native Gaussian-process solver for high-frequency & multi-scale PDEs.
 
-A from-scratch JAX/XLA/Pallas re-design of the GP-HM method (ICLR 2024,
+A from-scratch JAX/XLA re-design of the GP-HM method (ICLR 2024,
 "Solving High Frequency and Multi-Scale PDEs with Gaussian Processes";
 reference implementation: xuangu-fang/Gaussian-Process-Slover-for-High-Freq-PDE).
 

@@ -248,6 +248,9 @@ def chunked_train(
                                              # eval cadence stays absolute
     min_err0: float = 2.0,                   # resume: pre-crash running min
     error_increase_count0: int = 0,
+    max_launch: int = 5000,                  # steps per device launch; keep
+                                             # each launch well under ~1 min
+                                             # of device time (watchdog)
     verbose: bool = True,
 ) -> TrainResult:
     """Run the reference training protocol with scan-fused epochs.
@@ -280,10 +283,10 @@ def chunked_train(
     fired = set()
 
     # Single device executions are capped (a multi-minute XLA launch can trip
-    # infrastructure timeouts); long chunks run as repeated launches of one
-    # compiled program, which also keeps the number of distinct compiled scan
-    # lengths small.
-    max_launch = 5000
+    # infrastructure timeouts — observed: a 5000-step refined launch at
+    # ~48 ms/step crashed the TPU worker); long chunks run as repeated
+    # launches of one compiled program, which also keeps the number of
+    # distinct compiled scan lengths small.
 
     def run_steps(nsteps):
         loss = None

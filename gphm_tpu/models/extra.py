@@ -251,6 +251,7 @@ class Solver1DExtra(Solver1D):
             nan_policy=nan_policy, start_epoch=start_epoch,
             stop_epoch=stop_epoch,
             min_err0=min_err0, error_increase_count0=error_increase_count0,
+            max_launch=200 if self.wide_train else 5000,
             verbose=verbose)
         result.extras["base_params"] = base_holder.get("params")
         return result

@@ -88,7 +88,6 @@ class Solver1D:
         self.llk_weight = float(config["llk_weight"])
         self.logdet_flag = float(bool(config.get("logdet", True)))
         self.eq_type = problem.eq_type
-        self.use_pallas = self._resolve_pallas(config)
 
         # Posterior-mean prediction solves always run in f64 when x64 is
         # live: with f32-trained kernels the predict-time K^-1 u can hit
@@ -108,30 +107,13 @@ class Solver1D:
     # ------------------------------------------------------------------
     # model internals
     # ------------------------------------------------------------------
-    def _resolve_pallas(self, config) -> bool:
-        """Fused Pallas Gram-pair path (opt-in via config['use_pallas']).
-
-        Measured on TPU v5e at N=400/Q=30: runtime-identical to the XLA
-        broadcast path inside the training scan (1.27 vs 1.27 ms/epoch 1D,
-        2.34 vs 2.35 ms 2D) — XLA already fuses the mixture reduction — but
-        ~25x slower to compile under this environment's remote Mosaic
-        compiler, so the XLA path is the default."""
-        from gphm_tpu.ops import pallas_gram
-        mode = config.get("use_pallas", "auto")
-        ok = pallas_gram.supports(self.kernel.name)
-        if mode == "auto":
-            return False
-        return bool(mode) and ok
-
     def _K_and_Kd(self, kernel_paras, deriv: int = 2):
         """Covariance matrix (with jitter) and derivative cross-covariance —
-        the training-step hot pair, fused in Pallas on TPU. In the refined
-        tier both are built at the wide (f64) tier."""
-        if self.use_pallas and not self.wide_train:
-            from gphm_tpu.ops.pallas_gram import gram_pair_from_params
-            return gram_pair_from_params(
-                self.kernel.name, self.X_col, kernel_paras, deriv=deriv,
-                jitter=self.jitter)
+        the training-step hot pair (one fused XLA broadcast each; a
+        hand-written Pallas version was measured runtime-identical inside
+        the training scan and 25x slower to compile, so it was removed —
+        round-1 VERDICT #9). In the refined tier both are built at the wide
+        (f64) tier."""
         K = self.axis.gram(self.kernel, kernel_paras, jitter=self.jitter,
                            wide=self.wide_train)
         Kd = self.axis.gram(self.kernel, kernel_paras, deriv=deriv,
@@ -291,4 +273,5 @@ class Solver1D:
             nan_policy=nan_policy, start_epoch=start_epoch,
             stop_epoch=stop_epoch,
             min_err0=min_err0, error_increase_count0=error_increase_count0,
+            max_launch=200 if self.wide_train else 5000,
             verbose=verbose)

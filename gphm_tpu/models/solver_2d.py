@@ -102,14 +102,6 @@ class Solver2D:
         # advection uses first-derivative cross-covariances, Poisson/AC second
         self.deriv_order = 1 if self.eq_type == "advection" else 2
 
-        # Pallas fused Gram pair is opt-in: measured runtime-identical to the
-        # XLA-fused path on TPU v5e but far slower to compile (see
-        # Solver1D._resolve_pallas)
-        from gphm_tpu.ops import pallas_gram
-        mode = config.get("use_pallas", "auto")
-        ok = pallas_gram.supports(self.kernel.name)
-        self.use_pallas = False if mode == "auto" else bool(mode) and ok
-
         # solve mode: "cholesky" (dense factors, exact logdet — reference
         # parity) or "cg" (Kronecker-matvec CG path for beyond-reference
         # grids). CG is preconditioned by a fast f32 Cholesky factor by
@@ -156,11 +148,6 @@ class Solver2D:
     def _K_and_Kd(self, x, axis, kernel_paras):
         """Per-dimension covariance + derivative cross-covariance (wide
         tier when refining)."""
-        if self.use_pallas and not self.wide_train:
-            from gphm_tpu.ops.pallas_gram import gram_pair_from_params
-            return gram_pair_from_params(
-                self.kernel.name, x, kernel_paras, deriv=self.deriv_order,
-                jitter=self.jitter)
         K = axis.gram(self.kernel, kernel_paras, jitter=self.jitter,
                       wide=self.wide_train)
         Kd = axis.gram(self.kernel, kernel_paras, deriv=self.deriv_order,
@@ -381,4 +368,5 @@ class Solver2D:
             nan_policy=nan_policy, start_epoch=start_epoch,
             stop_epoch=stop_epoch,
             min_err0=min_err0, error_increase_count0=error_increase_count0,
+            max_launch=200 if self.wide_train else 5000,
             verbose=verbose)

@@ -4,9 +4,13 @@ The reference tops out at dense N_col = 400-900 per dimension. This script
 times the 2D training step at N = 512 per dimension (262k unknowns) under
 both solve modes:
 
-  * cholesky — per-dimension batched dense factors (the Kronecker trick keeps
+  * cholesky — per-dimension dense factors (the Kronecker trick keeps
     this viable far beyond the reference's practical envelope on TPU),
-  * cg       — factorization-free Kronecker-matvec CG (logdet-off objective),
+  * cg       — f32-factor-preconditioned CG with exact logdet from the
+    factor (round-1's unpreconditioned f32 CG diverged at this
+    conditioning; the PCG mode optimizes the SAME objective as cholesky),
+  * cg-slq   — strictly matvec-only: unpreconditioned CG + stochastic
+    Lanczos-quadrature logdet (ops/slq.py),
 
 and writes one summary line per mode. Usage:
     python tools/bench_largegrid.py [N] [steps]
@@ -45,11 +49,18 @@ def main():
     # crash the current axon TPU backend, and jitter 1e-5 is the measured
     # on-device stability lever (see PARITY.md numerics notes)
     policy = Policy(dtype=jnp.float32, jitter=1e-5)
-    for mode in ("cg", "cholesky"):
+    variants = [
+        ("cholesky", dict(solve="cholesky", logdet=True)),
+        ("cg-precond", dict(solve="cg", logdet=True, cg_iters=4)),
+        ("cg-slq", dict(solve="cg", logdet=True, cg_precond=False,
+                        logdet_mode="slq", slq_probes=4, slq_iters=20,
+                        cg_tol=1e-5)),
+    ]
+    for mode, over in variants:
         try:
-            cfg = dict(Q=30, lr=0.01, llk_weight=200.0, logdet=False,
-                       tol=-1.0, freq_scale=20.0, jitter=1e-5, solve=mode,
-                       cg_tol=1e-6, cg_maxiter=600)
+            cfg = dict(Q=30, lr=0.01, llk_weight=200.0,
+                       tol=-1.0, freq_scale=20.0, jitter=1e-5,
+                       cg_tol=1e-6, cg_maxiter=600, **over)
             solver = Solver2D(prob, "Matern52_Cos_1d", cfg, policy)
             rc = make_chunk_runner(solver._loss, solver.optimizer)
             p = solver.init_params()
@@ -63,9 +74,11 @@ def main():
             jax.block_until_ready(l)
             ms = (time.time() - t0) / steps * 1000
             err = float(solver.eval_err(p))
+            finite = bool(np.isfinite(float(l)) and np.isfinite(err))
             print(f"N={N}^2 solve={mode}: {ms:.2f} ms/epoch "
                   f"(compile {compile_s:.0f}s, loss {float(l):.4g}, "
-                  f"rel-L2@{2 * steps} {err:.3f})", flush=True)
+                  f"rel-L2@{2 * steps} {err:.3f}, finite={finite})",
+                  flush=True)
         except Exception as e:
             print(f"N={N}^2 solve={mode}: FAILED ({e})", flush=True)
 
