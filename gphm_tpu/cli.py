@@ -15,6 +15,7 @@ code/model_GP_solver_1d_extra.py:467).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from gphm_tpu.utils.config import (EQUATIONS_1D, EQUATIONS_2D,
@@ -84,6 +85,17 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    try:
+        # persistent XLA compile cache (repo-local, git-ignored): schedule
+        # runs compile several scan programs per segment, and campaign-style
+        # batches of CLI invocations would otherwise recompile each time
+        import jax
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
     overrides = dict(nepoch=args.nepoch, N_col=args.N_col, Q=args.Q,
                      lr=args.lr, dtype=args.dtype, num_fold=args.num_fold,
                      kernel=args.kernel, change_point=args.change_point,
