@@ -76,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "jax.config before any array op)")
     p.add_argument("--resume", action="store_true",
                    help="continue fold 0 from the run's rolling checkpoint")
+    p.add_argument("--stop-epoch", type=int, default=None, dest="stop_epoch",
+                   help="pause the run after this absolute epoch (resume "
+                        "later with --resume; the nepoch budget, eval "
+                        "cadence and artifact naming stay those of the "
+                        "full run) — bounded-duration segments, also the "
+                        "process-per-segment way to run a precision "
+                        "schedule: e.g. float32 with --stop-epoch 900000, "
+                        "then --dtype refined --resume")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -122,7 +130,7 @@ def main(argv=None) -> int:
     res = run_experiment(config, out_base=args.out or None,
                          verbose=not args.quiet,
                          figures=not args.no_figures,
-                         resume=args.resume)
+                         resume=args.resume, stop_epoch=args.stop_epoch)
     print(f"err mean {res.err_mean:.6g} +- {res.err_std:.3g}  "
           f"time {res.used_time:.2f}s")
     return 0

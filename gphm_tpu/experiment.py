@@ -177,7 +177,8 @@ class ExperimentResult:
 def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                    verbose: bool = True, figures: bool = True,
                    nepoch: Optional[int] = None,
-                   resume: bool = False) -> ExperimentResult:
+                   resume: bool = False,
+                   stop_epoch: Optional[int] = None) -> ExperimentResult:
     nepoch = nepoch or config.nepoch
     solver_cfg = config
     if config.dtype_schedule:
@@ -288,7 +289,8 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
         else:
             res = solver.train(nepoch, seed=fold, verbose=verbose,
                                on_eval=on_eval, on_checkpoint=on_checkpoint,
-                               mesh=mesh, **extra_kw, **resume_kw)
+                               mesh=mesh, stop_epoch=stop_epoch,
+                               **extra_kw, **resume_kw)
         err_list.append(res.min_err)
         stop_epochs.append(res.early_stopping["epoch"])
         fold_results.append(res)

@@ -359,6 +359,14 @@ def chunked_train(
                     print(f"early stop at epoch {i}")
                 break
 
+    if stop_epoch is not None and on_checkpoint is not None \
+            and epoch == end and (end - 1) not in eval_set:
+        # bounded segment ends between eval points: checkpoint the stop
+        # state so a --resume continuation loses nothing
+        on_checkpoint(end - 1, state.params, state.opt_state,
+                      {"min_err": min_err,
+                       "error_increase_count": error_increase_count})
+
     return TrainResult(params=state.params, opt_state=state.opt_state,
                        log=log, min_err=min_err,
                        early_stopping=early_stopping,

@@ -135,6 +135,19 @@ def policy_cholesky(K, policy) -> SPDFactor:
         return refined_cholesky(K, policy)
     if policy.solve_dtype is not None:
         K = K.astype(policy.solve_dtype)
+    if policy.solve_dtype is None and use_blocked_f64(K.dtype, K.ndim):
+        # An f32-policy solver asked for an f64 factor on an accelerator —
+        # the prediction/eval path ("predict solves always run wide"). Use
+        # the refined factor (native f32 Cholesky + fixed-iteration f64
+        # PCG, ops/refined.py) instead of the blocked-HLO f64
+        # factorization: it reaches the f64 solve floor in 8 iterations,
+        # runs ~matmul-speed, and — decisive on this backend — the blocked
+        # f64 program aborts the axon remote compiler inside the two-GP
+        # eval graph (tuple_tree.cc "Index out of bounds", PARITY round-2
+        # notes). Explicit mixed mode (solve_dtype=f64) keeps the blocked
+        # tier.
+        from gphm_tpu.ops.refined import refined_cholesky
+        return refined_cholesky(K, policy, iters=8)
     return robust_cholesky(K, policy.jitter, policy.jitter_growth,
                            policy.max_jitter_tries)
 
