@@ -249,14 +249,14 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                                                        load_meta)
                 meta = load_meta(latest)["meta"]
                 epoch_done = int(meta["epoch"])
-                start = epoch_done + 1
+                start_ep = epoch_done + 1
                 resume_kw = dict(
-                    start_epoch=start,
+                    start_epoch=start_ep,
                     min_err0=float(meta.get("min_err", 2.0)),
                     error_increase_count0=int(
                         meta.get("error_increase_count", 0)))
                 phase2 = (config.family == "1d_extra"
-                          and start > int(nepoch * config.change_point))
+                          and start_ep > int(nepoch * config.change_point))
                 if phase2:
                     # checkpoints past the change point hold phase-2 (extra)
                     # parameters; the frozen base comes from base_latest.npz
@@ -275,7 +275,7 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                     tmpl = (tmpl_p, solver.optimizer.init(tmpl_p))
                 resume_kw["init_state"] = load_checkpoint(latest, tmpl)
                 if verbose:
-                    print(f"resuming from epoch {start}"
+                    print(f"resuming from epoch {start_ep}"
                           + (" (phase 2)" if phase2 else ""))
 
         if verbose:
