@@ -45,6 +45,7 @@ def _policy_for(config: RunConfig) -> Policy:
         # cost — the production tier for the reference's hard f64-dependent
         # configs (reference: code/run_1d.sh:39-40)
         return Policy(dtype=jnp.float32, refine_iters=config.refine_iters,
+                      refine_logdet_iters=config.refine_logdet_iters,
                       jitter=config.jitter,
                       max_jitter_tries=config.jitter_retries)
     if config.dtype == "mixed":

@@ -60,6 +60,11 @@ class RunConfig:
     refine_iters: int = 8         # PCG iterations (dtype == "refined"):
                                   # ~15x error contraction per iteration,
                                   # 8 reaches the f64 floor at cond ~ 1e7
+    refine_logdet_iters: int = 4  # PCG iterations for the logdet gradient
+                                  # (the only matrix-RHS PCG in a refined
+                                  # step): 4 -> ~5e-5 kernel-gradient error
+                                  # vs f64 at ~25% less step cost; 0 = f32
+                                  # factor gradient (~1e-2, fastest)
     mesh: str = ""                # "DPxTP" device mesh ('1x8', '2x4'):
                                   # latent grid sharded on the model axis,
                                   # data axis for concurrent sweeps
