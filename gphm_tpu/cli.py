@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'float32:0.9,refined:0.1' — train most of the "
                         "budget at f32 speed, then descend below the f32 "
                         "error floor with a refined-precision tail")
+    p.add_argument("--refine-logdet-iters", type=int, default=None,
+                   dest="refine_logdet_iters",
+                   help="refined tier: PCG iterations for the logdet "
+                        "gradient (4 = ~5e-5 kernel-grad error, 0 = f32 "
+                        "gradient, fastest)")
     p.add_argument("--num-fold", type=int, default=None, dest="num_fold")
     p.add_argument("--mesh", default=None,
                    help="device mesh 'DPxTP' (e.g. 1x8, 2x4): training, "
@@ -108,7 +113,8 @@ def main(argv=None) -> int:
                      lr=args.lr, dtype=args.dtype, num_fold=args.num_fold,
                      kernel=args.kernel, change_point=args.change_point,
                      jitter=args.jitter, mesh=args.mesh,
-                     dtype_schedule=args.dtype_schedule)
+                     dtype_schedule=args.dtype_schedule,
+                     refine_logdet_iters=args.refine_logdet_iters)
     if args.extra:
         if args.equation not in EQUATIONS_1D:
             print("--extra is only supported for 1D equations",
