@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="refined tier: PCG iterations for the logdet "
                         "gradient (4 = ~5e-5 kernel-grad error, 0 = f32 "
                         "gradient, fastest)")
+    p.add_argument("--freq-init", default=None, dest="freq_init",
+                   choices=["linspace", "spectral"],
+                   help="mixture frequency init: 'linspace' (reference) or "
+                        "'spectral' — place components on the source-term "
+                        "periodogram peaks (the known source reveals the "
+                        "solution's spectral lines exactly; cracks the "
+                        "hard high-frequency configs)")
     p.add_argument("--num-fold", type=int, default=None, dest="num_fold")
     p.add_argument("--mesh", default=None,
                    help="device mesh 'DPxTP' (e.g. 1x8, 2x4): training, "
@@ -114,7 +121,8 @@ def main(argv=None) -> int:
                      kernel=args.kernel, change_point=args.change_point,
                      jitter=args.jitter, mesh=args.mesh,
                      dtype_schedule=args.dtype_schedule,
-                     refine_logdet_iters=args.refine_logdet_iters)
+                     refine_logdet_iters=args.refine_logdet_iters,
+                     freq_init=args.freq_init)
     if args.extra:
         if args.equation not in EQUATIONS_1D:
             print("--extra is only supported for 1D equations",

@@ -202,11 +202,23 @@ class Solver1D:
         d = self.policy.dtype
         u0 = get_init_u(self.config.get("init_u", "zeros"))(
             self.N_col, self.bc_vals, key=jax.random.PRNGKey(seed), dtype=d)
+        freqs = None
+        if self.config.get("freq_init", "linspace") == "spectral":
+            # periodogram-of-source frequency placement (ops/kernels.py
+            # spectral_freqs); the reference always uses linspace
+            from gphm_tpu.ops.kernels import spectral_freqs
+            x = getattr(self.problem, "X_col64", None)
+            src = getattr(self.problem, "src64", None)
+            freqs = spectral_freqs(
+                x if x is not None else np.asarray(self.X_col),
+                src if src is not None else np.asarray(self.src),
+                int(self.config["Q"]), float(self.config["freq_scale"]))
         return {
             "log_tau": jnp.zeros((), d),
             "log_v": jnp.zeros((), d),
             "kernel_paras": init_mixture_params(
-                int(self.config["Q"]), float(self.config["freq_scale"]), d),
+                int(self.config["Q"]), float(self.config["freq_scale"]), d,
+                freqs=freqs),
             "u": u0,
         }
 

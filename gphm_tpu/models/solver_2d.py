@@ -29,6 +29,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 from gphm_tpu.models.base import TrainResult, TrainState, chunked_train, \
@@ -294,11 +295,26 @@ class Solver2D:
         d = self.policy.dtype
         Q = int(self.config["Q"])
         fs = float(self.config["freq_scale"])
+        freqs1 = freqs2 = None
+        if self.config.get("freq_init", "linspace") == "spectral":
+            # per-axis periodogram placement (ops/kernels.py spectral_freqs):
+            # the Kronecker kernel factors per dimension, so each axis gets
+            # the spectrum of the source restricted to that axis
+            from gphm_tpu.ops.kernels import spectral_freqs
+            src = getattr(self.problem, "src64", None)
+            src = np.asarray(src if src is not None else self.src)
+            x1 = getattr(self.problem, "x_col64", None)
+            x2 = getattr(self.problem, "y_col64", None)
+            freqs1 = spectral_freqs(
+                x1 if x1 is not None else np.asarray(self.x_col), src, Q, fs)
+            freqs2 = spectral_freqs(
+                x2 if x2 is not None else np.asarray(self.y_col), src.T, Q,
+                fs)
         return {
             "log_tau": jnp.zeros((), d),
             "log_v": jnp.zeros((), d),
-            "kernel_paras_1": init_mixture_params(Q, fs, d),
-            "kernel_paras_2": init_mixture_params(Q, fs, d),
+            "kernel_paras_1": init_mixture_params(Q, fs, d, freqs=freqs1),
+            "kernel_paras_2": init_mixture_params(Q, fs, d, freqs=freqs2),
             "U": jnp.zeros((self.N1, self.N2), d),
         }
 

@@ -349,11 +349,85 @@ def get_kernel(name: str) -> StationaryKernel:
     return KERNELS[name]
 
 
-def init_mixture_params(Q: int, freq_scale: float, dtype=jnp.float32) -> Params:
+def init_mixture_params(Q: int, freq_scale: float, dtype=jnp.float32,
+                        freqs=None) -> Params:
     """Reference initialization: log-w = log(1/Q), ls = 0, freq = linspace
-    (reference: code/model_GP_solver_1d.py:206-210)."""
+    (reference: code/model_GP_solver_1d.py:206-210). An explicit ``freqs``
+    array (e.g. from :func:`spectral_freqs`) overrides the linspace."""
+    if freqs is None:
+        freqs = np.linspace(0.0, 1.0, Q) * freq_scale
     return {
         "log-w": jnp.full((Q,), np.log(1.0 / Q), dtype=dtype),
         "log-ls": jnp.zeros((Q,), dtype=dtype),
-        "freq": jnp.asarray(np.linspace(0.0, 1.0, Q) * freq_scale, dtype=dtype),
+        "freq": jnp.asarray(freqs, dtype=dtype),
     }
+
+
+def spectral_freqs(x, values, Q: int, freq_scale: float,
+                   coverage: float = 0.5) -> np.ndarray:
+    """Mixture frequencies from the periodogram of the PDE source term.
+
+    The reference spreads the initial frequencies uniformly,
+    ``linspace(0,1,Q) * freq_scale`` (code/model_GP_solver_1d.py:206-210),
+    leaving every component up to ``freq_scale/(2(Q-1))`` cycles away from
+    the solution's true spectral lines; on the hardest configs
+    (``x2_add_sinx``: one line at 500/2pi ~ 79.6 cycles/unit) Adam never
+    closes that gap — the loss is oscillatory in ``freq`` with basin width
+    ~1/span — and the mixture stalls (PARITY round-2 campaign). But the
+    source term *is known data on a uniform grid*: a linear
+    constant-coefficient operator maps each spectral line of ``u`` to the
+    same frequency in ``f``, so the periodogram of ``f`` reveals the lines
+    exactly. This is the classic empirical-spectrum initialization for
+    spectral-mixture kernels (Wilson & Adams 2013), applied to the PDE
+    source instead of observed targets.
+
+    Placement: ``ceil(Q * (1-coverage))`` components on the strongest
+    periodogram peaks (sub-bin accuracy via parabolic interpolation of the
+    log-magnitude; repeats fan out in quarter-bin offsets so redundant
+    components bracket dominant lines), the remaining components keep the
+    reference's linspace coverage of ``[0, freq_scale]`` so unanticipated
+    spectral content can still be captured.
+
+    Host-side numpy; runs once at parameter-initialization time.
+    """
+    x = np.asarray(x, np.float64).reshape(-1)
+    v = np.asarray(values, np.float64)
+    v = v.reshape(v.shape[0], -1) if v.ndim > 1 else v.reshape(-1, 1)
+    n = x.size
+    span = float(x[-1] - x[0])
+    df = 1.0 / span  # periodogram bin width, cycles per unit
+    window = np.hanning(n).reshape(-1, 1)
+    # 2D sources (Kronecker grids): per-column spectra along this axis,
+    # magnitudes averaged — averaging the *signal* across the other axis
+    # would cancel separable lines like sin(100x) sin(100y)
+    vw = (v - v.mean(axis=0, keepdims=True)) * window
+    mag = np.abs(np.fft.rfft(vw, axis=0)).mean(axis=1)
+    bins = np.fft.rfftfreq(n, d=span / (n - 1))
+
+    # interior local maxima, strongest first; drop the Hann leakage floor
+    # (maxima below 1e-3 of the strongest line are window sidelobes /
+    # numerical noise, not spectral content — observed on x2_add_sinx,
+    # whose source has exactly one line plus DC)
+    peak = np.where((mag[1:-1] >= mag[:-2]) & (mag[1:-1] >= mag[2:]))[0] + 1
+    peak = peak[np.argsort(mag[peak])[::-1]]
+    if peak.size:
+        peak = peak[mag[peak] >= 1e-3 * mag[peak[0]]]
+
+    n_spec = int(np.ceil(Q * (1.0 - coverage))) if peak.size else 0
+    n_cov = Q - n_spec
+    spec = []
+    for i in range(n_spec):
+        k = int(peak[i % peak.size])
+        # parabolic (quadratically-interpolated) peak of the log-magnitude:
+        # sub-bin line-frequency accuracy for windowed sinusoids
+        lm = np.log(mag[k - 1:k + 2] + 1e-300)
+        denom = lm[0] - 2.0 * lm[1] + lm[2]
+        delta = 0.5 * (lm[0] - lm[2]) / denom if abs(denom) > 1e-12 else 0.0
+        f = bins[k] + np.clip(delta, -0.5, 0.5) * df
+        # repeats of an exhausted peak list bracket the line at +-df/4 steps
+        rep = i // peak.size
+        off = (0.0 if rep == 0
+               else ((rep + 1) // 2) * (df / 4.0) * (1 if rep % 2 else -1))
+        spec.append(max(f + off, 0.0))
+    cov = list(np.linspace(0.0, 1.0, max(n_cov, 1)) * freq_scale)[:n_cov]
+    return np.asarray(cov + spec, np.float64)

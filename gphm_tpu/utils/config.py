@@ -65,6 +65,10 @@ class RunConfig:
                                   # step): 4 -> ~5e-5 kernel-gradient error
                                   # vs f64 at ~25% less step cost; 0 = f32
                                   # factor gradient (~1e-2, fastest)
+    freq_init: str = "linspace"   # "spectral": place mixture frequencies
+                                  # on the source-term periodogram peaks
+                                  # (ops/kernels.spectral_freqs) instead of
+                                  # the reference's uniform linspace
     mesh: str = ""                # "DPxTP" device mesh ('1x8', '2x4'):
                                   # latent grid sharded on the model axis,
                                   # data axis for concurrent sweeps
@@ -90,6 +94,7 @@ class RunConfig:
             "freq_scale": self.freq_scale, "logdet": self.logdet,
             "tol": self.tol, "jitter": self.jitter,
             "change_point": self.change_point, "solve": self.solve,
+            "freq_init": self.freq_init,
         }
 
 

@@ -178,3 +178,70 @@ def test_registry_names():
         assert KERNELS[name].name == name
     with pytest.raises(KeyError):
         get_kernel("nope")
+
+
+def test_spectral_freqs_finds_lines():
+    """Periodogram init places components on the true spectral lines of the
+    hard configs (sub-bin accuracy), with linspace coverage retained."""
+    import math
+    from gphm_tpu.ops.kernels import spectral_freqs
+    from gphm_tpu.problems.equations import make_problem
+
+    # one line at 500/(2pi) ~ 79.58 cycles/unit (u = sin(500x) - 2(x-.5)^2)
+    p = make_problem("poisson_1d-x2_add_sinx", 400, 1.0)
+    f = np.asarray(spectral_freqs(p.X_col64, p.src64, 30, 100.0))
+    assert f.shape == (30,)
+    assert np.min(np.abs(f - 500 / (2 * np.pi))) < 0.05
+    # coverage half keeps the reference linspace
+    np.testing.assert_allclose(f[:15], np.linspace(0, 1, 15) * 100.0)
+    # single-line source: redundant components bracket the line
+    assert np.ptp(f[15:]) < 5.0
+
+    # three lines (u = sin x + 0.1 sin 20x + 0.05 sin 100x)
+    p2 = make_problem("poisson_1d-mix_sin", 300, 2 * math.pi)
+    f2 = np.asarray(spectral_freqs(p2.X_col64, p2.src64, 30, 20.0))
+    for line in (1.0, 20.0, 100.0):
+        assert np.min(np.abs(f2 - line / (2 * np.pi))) < 0.06, line
+
+
+def test_spectral_freqs_2d_magnitude_averaged():
+    """2D grids: spectra are magnitude-averaged per column — averaging the
+    signal itself would cancel separable lines like sin(100x) sin(100y)."""
+    from gphm_tpu.ops.kernels import spectral_freqs
+    from gphm_tpu.problems.equations import make_problem
+
+    p = make_problem("poisson_2d-sin_sin", 200, 1.0)
+    src = np.asarray(p.src64)
+    for vals in (src, src.T):
+        f = np.asarray(spectral_freqs(p.x_col64, vals, 30, 40.0))
+        assert np.min(np.abs(f - 100 / (2 * np.pi))) < 0.05
+
+
+def test_init_mixture_params_explicit_freqs():
+    freqs = np.array([1.0, 2.5, 7.25])
+    p = init_mixture_params(3, 20.0, jnp.float64, freqs=freqs)
+    np.testing.assert_allclose(np.asarray(p["freq"]), freqs)
+
+
+def test_solver_spectral_init_config(problem_1d_factory=None):
+    """config freq_init='spectral' reaches init_params in both solvers."""
+    import math
+    from gphm_tpu.models.solver_1d import Solver1D
+    from gphm_tpu.models.solver_2d import Solver2D
+    from gphm_tpu.problems.equations import make_problem
+
+    cfg = dict(Q=12, lr=0.01, llk_weight=200, freq_scale=50, logdet=True,
+               tol=-1, change_point=0.5, freq_init="spectral")
+    # N must resolve the 200/(2pi) ~ 31.8 cycles/unit line over 2pi units
+    # (Nyquist (N-1)/(2 * 2pi) > 31.8 -> N > 401)
+    p = make_problem("poisson_1d-x_time_sinx", 500, 2 * math.pi)
+    s = Solver1D(p, "Matern52_Cos_1d", cfg)
+    f = np.asarray(s.init_params()["kernel_paras"]["freq"])
+    assert np.min(np.abs(f - 200 / (2 * np.pi))) < 0.1
+
+    p2 = make_problem("poisson_2d-sin_sin", 100, 1.0)
+    s2 = Solver2D(p2, "Matern52_Cos_1d", {**cfg, "freq_scale": 40})
+    prm = s2.init_params()
+    for tag in ("1", "2"):
+        f2 = np.asarray(prm[f"kernel_paras_{tag}"]["freq"])
+        assert np.min(np.abs(f2 - 100 / (2 * np.pi))) < 0.15
