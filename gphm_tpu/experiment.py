@@ -251,9 +251,30 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                 meta = load_meta(latest)["meta"]
                 epoch_done = int(meta["epoch"])
                 start_ep = epoch_done + 1
+                min_err0 = meta.get("min_err")
+                if min_err0 is None:
+                    # checkpoints written before min_err persistence (or by
+                    # older code): recover the running minimum from the
+                    # run's metrics log so the resumed run still reports
+                    # the whole-run aggregate
+                    mpath = os.path.join(directory,
+                                         f"metrics_fold{fold}.jsonl")
+                    min_err0 = 2.0
+                    if os.path.exists(mpath):
+                        import json
+                        with open(mpath) as mf:
+                            for line in mf:
+                                try:
+                                    rec = json.loads(line)
+                                except ValueError:
+                                    continue
+                                if rec.get("epoch", 0) <= epoch_done and \
+                                        "rel_l2" in rec:
+                                    min_err0 = min(min_err0,
+                                                   float(rec["rel_l2"]))
                 resume_kw = dict(
                     start_epoch=start_ep,
-                    min_err0=float(meta.get("min_err", 2.0)),
+                    min_err0=float(min_err0),
                     error_increase_count0=int(
                         meta.get("error_increase_count", 0)))
                 phase2 = (config.family == "1d_extra"

@@ -183,3 +183,32 @@ def test_f32_eval_matches_f64_eval():
     e32 = float(s32.eval_err(p32))
     e64 = float(s64.eval_err(res64.params))
     np.testing.assert_allclose(e32, e64, rtol=1e-3)
+
+
+def test_resume_recovers_min_err_from_metrics(tmp_path):
+    """Checkpoints written before min_err persistence (round-1 format) lack
+    'min_err' in meta; the resume path recovers the pre-crash running
+    minimum from the metrics JSONL so the whole-run aggregate survives
+    (observed on the allencahn_2d 3e6 resume: the resumed segment reported
+    its own local minimum, discarding the 2.7M-epoch history)."""
+    import json
+
+    cfg = load_config("poisson_1d-single_sin", dtype="float64", N_col=32,
+                      nepoch=40, Q=4)
+    run_experiment(cfg, out_base=str(tmp_path), verbose=False, figures=False)
+    run_dir = os.path.join(
+        str(tmp_path), "poisson_1d-single_sin", "kernel_Matern52_Cos_1d",
+        "epoch_40", "Q30" if cfg.Q == 30 else f"Q{cfg.Q}")
+    sidecar = os.path.join(run_dir, "latest.npz.json")
+    with open(sidecar) as f:
+        payload = json.load(f)
+    pre_min = payload["meta"].pop("min_err")
+    payload["meta"].pop("error_increase_count", None)
+    with open(sidecar, "w") as f:
+        json.dump(payload, f)
+
+    res = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                         figures=False, resume=True)
+    # the resumed tail alone would report ~2.0 (no evals) or its own local
+    # min; the recovered aggregate must include the pre-crash minimum
+    assert res.err_mean <= pre_min + 1e-12
