@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "periodogram peaks (the known source reveals the "
                         "solution's spectral lines exactly; cracks the "
                         "hard high-frequency configs)")
+    p.add_argument("--n-evals", type=int, default=None, dest="n_evals",
+                   help="evaluations per budget (reference cadence: 20); "
+                        "denser cadences record the two-GP post-switch dip "
+                        "and fire the error-increase stop near it")
     p.add_argument("--num-fold", type=int, default=None, dest="num_fold")
     p.add_argument("--mesh", default=None,
                    help="device mesh 'DPxTP' (e.g. 1x8, 2x4): training, "
@@ -122,7 +126,7 @@ def main(argv=None) -> int:
                      jitter=args.jitter, mesh=args.mesh,
                      dtype_schedule=args.dtype_schedule,
                      refine_logdet_iters=args.refine_logdet_iters,
-                     freq_init=args.freq_init)
+                     freq_init=args.freq_init, n_evals=args.n_evals)
     if args.extra:
         if args.equation not in EQUATIONS_1D:
             print("--extra is only supported for 1D equations",

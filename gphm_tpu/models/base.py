@@ -56,10 +56,14 @@ class TrainResult:
     extras: Dict = dataclasses.field(default_factory=dict)
 
 
-def eval_epochs(nepoch: int) -> List[int]:
+def eval_epochs(nepoch: int, n_evals: int = 20) -> List[int]:
     """Epoch indices after which the reference evaluates: i % (nepoch/20) == 0
-    with float modulo (reference: code/model_GP_solver_1d.py:242)."""
-    period = nepoch / 20
+    with float modulo (reference: code/model_GP_solver_1d.py:242).
+    ``n_evals`` generalizes the reference's hard-coded 20: the two-GP
+    solvers' post-switch error dips sharply and then drifts under the
+    phase-2 MAP objective, so a denser cadence both records the dip and
+    lets the error-increase early stop fire near it."""
+    period = nepoch / n_evals
     if period <= 0:
         return list(range(nepoch))
     return [i for i in range(nepoch) if i % period == 0]
@@ -251,6 +255,8 @@ def chunked_train(
     max_launch: int = 5000,                  # steps per device launch; keep
                                              # each launch well under ~1 min
                                              # of device time (watchdog)
+    n_evals: int = 20,                       # eval-cadence points per budget
+                                             # (reference hard-codes 20)
     verbose: bool = True,
 ) -> TrainResult:
     """Run the reference training protocol with scan-fused epochs.
@@ -263,7 +269,7 @@ def chunked_train(
     min-error tracking so the reported aggregate covers the whole run, not
     just the post-crash tail.
     """
-    evals = eval_epochs(nepoch)
+    evals = eval_epochs(nepoch, n_evals)
     eval_set = set(e for e in evals if e >= start_epoch)
 
     end = nepoch if stop_epoch is None else min(int(stop_epoch), nepoch)

@@ -182,7 +182,7 @@ class Solver1DExtra(Solver1D):
               start_epoch: int = 0, base_params=None,
               on_phase_switch=None, min_err0: float = 2.0,
               error_increase_count0: int = 0, mesh=None,
-              stop_epoch=None) -> TrainResult:
+              stop_epoch=None, n_evals: int = 20) -> TrainResult:
         """Two-phase training; resumable in either phase.
 
         Resume semantics (absent from the reference, which has no resume at
@@ -252,6 +252,6 @@ class Solver1DExtra(Solver1D):
             stop_epoch=stop_epoch,
             min_err0=min_err0, error_increase_count0=error_increase_count0,
             max_launch=200 if self.wide_train else 5000,
-            verbose=verbose)
+            n_evals=n_evals, verbose=verbose)
         result.extras["base_params"] = base_holder.get("params")
         return result

@@ -232,8 +232,9 @@ class Solver1D:
               nan_policy: str = "warn", init_state=None,
               start_epoch: int = 0, min_err0: float = 2.0,
               error_increase_count0: int = 0, mesh=None,
-              stop_epoch=None) -> TrainResult:
-        if start_epoch or init_state is not None or stop_epoch is not None:
+              stop_epoch=None, n_evals: int = 20) -> TrainResult:
+        if start_epoch or init_state is not None or stop_epoch is not None \
+                or n_evals != 20:
             mode = "chunked"  # resume keeps the absolute eval cadence
         if on_checkpoint is not None or nan_policy == "raise":
             # fused mode writes no rolling checkpoints and has no NaN guard:
@@ -286,4 +287,4 @@ class Solver1D:
             stop_epoch=stop_epoch,
             min_err0=min_err0, error_increase_count0=error_increase_count0,
             max_launch=200 if self.wide_train else 5000,
-            verbose=verbose)
+            n_evals=n_evals, verbose=verbose)

@@ -65,6 +65,11 @@ class RunConfig:
                                   # step): 4 -> ~5e-5 kernel-gradient error
                                   # vs f64 at ~25% less step cost; 0 = f32
                                   # factor gradient (~1e-2, fastest)
+    n_evals: int = 20             # eval-cadence points per budget (the
+                                  # reference hard-codes 20); denser
+                                  # cadences record the two-GP post-switch
+                                  # dip and let the error-increase early
+                                  # stop fire near it
     freq_init: str = "linspace"   # "spectral": place mixture frequencies
                                   # on the source-term periodogram peaks
                                   # (ops/kernels.spectral_freqs) instead of

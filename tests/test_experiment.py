@@ -196,3 +196,29 @@ def test_schedule_two_gp_across_phase_switch(tmp_path):
     np.testing.assert_allclose(s.log["err_list"], r.log["err_list"],
                                rtol=1e-12)
     assert s.extras["base_params"] is not None
+
+
+def test_n_evals_cadence_same_trajectory():
+    """A denser eval cadence changes only where evaluations happen, not the
+    training trajectory (same final params), and records more points."""
+    import numpy as np
+    from gphm_tpu.models.solver_1d import Solver1D
+    from gphm_tpu.precision import Policy
+    from gphm_tpu.problems.equations import make_problem
+    import jax.numpy as jnp
+
+    cfg = dict(Q=4, lr=0.01, llk_weight=200, freq_scale=20, logdet=True,
+               tol=-1, change_point=0.5)
+    prob = make_problem("poisson_1d-single_sin", N_col=32, scale=2 * np.pi)
+    pol = Policy(dtype=jnp.float64)
+    a = Solver1D(prob, "Matern52_Cos_1d", cfg, pol).train(
+        40, verbose=False, mode="chunked")
+    b = Solver1D(prob, "Matern52_Cos_1d", cfg, pol).train(
+        40, verbose=False, n_evals=40)
+    assert len(a.log["epoch_list"]) == 20
+    assert len(b.log["epoch_list"]) == 40
+    np.testing.assert_allclose(np.asarray(a.params["u"]),
+                               np.asarray(b.params["u"]),
+                               rtol=1e-12, atol=1e-15)
+    # the dense cadence's min can only be <= the sparse one's
+    assert b.min_err <= a.min_err + 1e-15
