@@ -72,6 +72,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="evaluations per budget (reference cadence: 20); "
                         "denser cadences record the two-GP post-switch dip "
                         "and fire the error-increase stop near it")
+    p.add_argument("--multi-start", type=int, default=None,
+                   dest="multi_start",
+                   help="warm up this many mixture-frequency "
+                        "initializations concurrently (vmapped; data-axis-"
+                        "sharded on a mesh) and continue the budget from "
+                        "the best by the training criterion — the "
+                        "optimization-side lever for hard high-frequency "
+                        "configs where a single descent stalls")
+    p.add_argument("--multi-start-frac", type=float, default=None,
+                   dest="multi_start_frac",
+                   help="fraction of the budget spent on the multi-start "
+                        "warmup (default 0.01; two-GP runs need it at or "
+                        "before the change point)")
     p.add_argument("--num-fold", type=int, default=None, dest="num_fold")
     p.add_argument("--mesh", default=None,
                    help="device mesh 'DPxTP' (e.g. 1x8, 2x4): training, "
@@ -126,7 +139,9 @@ def main(argv=None) -> int:
                      jitter=args.jitter, mesh=args.mesh,
                      dtype_schedule=args.dtype_schedule,
                      refine_logdet_iters=args.refine_logdet_iters,
-                     freq_init=args.freq_init, n_evals=args.n_evals)
+                     freq_init=args.freq_init, n_evals=args.n_evals,
+                     multi_start=args.multi_start,
+                     multi_start_frac=args.multi_start_frac)
     if args.extra:
         if args.equation not in EQUATIONS_1D:
             print("--extra is only supported for 1D equations",

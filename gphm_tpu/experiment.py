@@ -300,6 +300,34 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                     print(f"resuming from epoch {start_ep}"
                           + (" (phase 2)" if phase2 else ""))
 
+        if config.multi_start > 1 and not resume_kw:
+            # frequency multi-start (DP over the mesh's data axis): warm up
+            # K inits concurrently, continue the budget from the best by the
+            # training criterion. Counts against the epoch budget — the
+            # continuation resumes at start_epoch = warmup.
+            warmup = int(round(nepoch * config.multi_start_frac))
+            if config.family == "1d_extra":
+                change = int(nepoch * config.change_point)
+                if warmup > change:
+                    raise ValueError(
+                        f"multi-start warmup ({warmup} epochs) must end at "
+                        f"or before the two-GP change point ({change}); "
+                        f"lower multi_start_frac")
+            if warmup > 0:
+                from gphm_tpu.parallel.sweep import multi_start_train
+                seg0 = (parse_schedule(config.dtype_schedule, nepoch)[0][0]
+                        if config.dtype_schedule else config.dtype)
+                ms_solver = make_solver(dataclasses.replace(
+                    config, dtype=seg0, dtype_schedule=""))
+                if verbose:
+                    print(f"multi-start: {config.multi_start} starts x "
+                          f"{warmup} warmup epochs ({seg0})")
+                p0, s0, ms_info = multi_start_train(
+                    ms_solver, warmup, config.multi_start, mesh=mesh,
+                    verbose=verbose)
+                resume_kw = dict(start_epoch=warmup, init_state=(p0, s0))
+                metrics.log(fold=fold, multi_start=ms_info)
+
         if verbose:
             print(f"fold {fold}: {config.equation} / {config.kernel} "
                   f"({nepoch} epochs)")

@@ -51,8 +51,10 @@ def sweep_variants(solver, base_params, *, freq_scales=None, seeds=None):
 
 
 def run_sweep(solver, batched_params, nepoch: int, *,
-              mesh: Optional[Mesh] = None, chunk: int = 1000):
-    """Train all variants concurrently; returns (batched_params, errs).
+              mesh: Optional[Mesh] = None, chunk: int = 1000,
+              return_state: bool = False):
+    """Train all variants concurrently; returns (batched_params, errs, loss)
+    or, with ``return_state``, (batched_params, opt_state, errs, loss).
 
     Each variant gets an independent Adam state (vmapped init so scalar
     counters batch correctly). With a mesh, the batch axis is sharded over
@@ -94,4 +96,83 @@ def run_sweep(solver, batched_params, nepoch: int, *,
         done += k
 
     errs = jax.vmap(solver._eval_err)(batched_params)
+    if return_state:
+        return batched_params, opt_state, np.asarray(errs), np.asarray(loss)
     return batched_params, np.asarray(errs), np.asarray(loss)
+
+
+def multi_start_variants(solver, K: int):
+    """``K`` parameter initializations differing in the mixture frequency
+    grid, stacked for vmapped training.
+
+    The MAP objective is highly oscillatory in the mixture frequencies
+    (basin width ~1/span), so a single gradient descent from the reference's
+    linspace init can stall far from the solution's spectral lines — the
+    failure mode of the hardest shipped config (``x2_add_sinx``, PARITY
+    round-2 campaign). Variants:
+
+      0. the config's own init (``freq_init``: linspace or spectral),
+      1. the *other* init mode (periodogram placement vs uniform),
+      2+ alternating rescaled linspace grids (x0.5, x2, x0.75, ...) and
+         stratified-random grids over [0, freq_scale] (deterministic seeds).
+    """
+    base = solver.init_params()
+    kp_keys = [k for k in base if k.startswith("kernel_paras")]
+    Q = int(solver.config["Q"])
+    fs = float(solver.config["freq_scale"])
+    fdtype = base[kp_keys[0]]["freq"].dtype
+
+    variants = [base]
+    mode = solver.config.get("freq_init", "linspace")
+    if K > 1:
+        other = "spectral" if mode != "spectral" else "linspace"
+        solver.config["freq_init"] = other
+        try:
+            variants.append(solver.init_params())
+        except Exception:
+            pass  # no source spectrum available: fall through to grids
+        finally:
+            solver.config["freq_init"] = mode
+
+    mults = [0.5, 2.0, 0.75, 1.5, 1.25, 0.6, 1.75, 0.9, 0.4, 1.1]
+    j = 0
+    while len(variants) < K:
+        p = jax.tree_util.tree_map(jnp.copy, base)
+        if j % 2 == 0 and j // 2 < len(mults):
+            freq = np.linspace(0.0, 1.0, Q) * fs * mults[j // 2]
+        else:
+            rng = np.random.default_rng(7919 + j)
+            freq = np.sort((np.arange(Q) + rng.uniform(size=Q)) / Q * fs)
+        for k in kp_keys:
+            p[k]["freq"] = jnp.asarray(freq, fdtype)
+        variants.append(p)
+        j += 1
+    return stack_pytrees(variants[:K])
+
+
+def multi_start_train(solver, warmup: int, K: int, *,
+                      mesh: Optional[Mesh] = None, chunk: int = 1000,
+                      verbose: bool = True):
+    """Warm up ``K`` frequency initializations concurrently, keep the best.
+
+    All starts train as one vmapped (mesh: data-axis-sharded) program for
+    ``warmup`` epochs; the winner is chosen by the reference's early-stop
+    criterion ``boundary_gap/N_b + eq_gap/N_col`` — training data only, no
+    test-error peeking. Returns ``(params, opt_state, info)`` ready to
+    continue the run from epoch ``warmup``.
+    """
+    batched = multi_start_variants(solver, K)
+    batched, opt_state, errs, _ = run_sweep(
+        solver, batched, warmup, mesh=mesh, chunk=chunk, return_state=True)
+    crit = np.asarray(jax.vmap(jax.jit(solver._criterion))(batched))
+    chosen = int(np.argmin(crit))
+    if verbose:
+        for i in range(K):
+            mark = " <- chosen" if i == chosen else ""
+            print(f"  start {i}: criterion {crit[i]:.6g} "
+                  f"(rel-L2 {errs[i]:.4g}){mark}")
+    pick = lambda t: jax.tree_util.tree_map(lambda x: x[chosen], t)
+    info = {"chosen": chosen, "criteria": [float(c) for c in crit],
+            "rel_l2": [float(e) for e in errs], "warmup_epochs": int(warmup),
+            "n_starts": int(K)}
+    return pick(batched), pick(opt_state), info

@@ -74,6 +74,17 @@ class RunConfig:
                                   # on the source-term periodogram peaks
                                   # (ops/kernels.spectral_freqs) instead of
                                   # the reference's uniform linspace
+    multi_start: int = 1          # >1: warm up this many mixture-frequency
+                                  # initializations concurrently (vmapped /
+                                  # data-axis-sharded) and continue the
+                                  # budget from the best by the training
+                                  # criterion — the optimization-side fix
+                                  # for the oscillatory-in-frequency MAP
+                                  # objective on hard high-freq configs
+    multi_start_frac: float = 0.01
+                                  # fraction of the budget spent warming up
+                                  # the starts (two-GP runs: must end at or
+                                  # before the change point)
     mesh: str = ""                # "DPxTP" device mesh ('1x8', '2x4'):
                                   # latent grid sharded on the model axis,
                                   # data axis for concurrent sweeps
