@@ -72,6 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="evaluations per budget (reference cadence: 20); "
                         "denser cadences record the two-GP post-switch dip "
                         "and fire the error-increase stop near it")
+    p.add_argument("--u-mode", default=None, dest="u_mode",
+                   choices=["adam", "profiled"],
+                   help="latent update: 'adam' (reference protocol) or "
+                        "'profiled' — for linear residuals, write the "
+                        "closed-form conditional optimum u*(theta) each "
+                        "step and descend only on the hyperparameters "
+                        "(~100x fewer epochs to the same error on "
+                        "poisson_1d)")
     p.add_argument("--multi-start", type=int, default=None,
                    dest="multi_start",
                    help="warm up this many mixture-frequency "
@@ -141,7 +149,8 @@ def main(argv=None) -> int:
                      refine_logdet_iters=args.refine_logdet_iters,
                      freq_init=args.freq_init, n_evals=args.n_evals,
                      multi_start=args.multi_start,
-                     multi_start_frac=args.multi_start_frac)
+                     multi_start_frac=args.multi_start_frac,
+                     u_mode=args.u_mode)
     if args.extra:
         if args.equation not in EQUATIONS_1D:
             print("--extra is only supported for 1D equations",

@@ -96,10 +96,20 @@ def freezable_adam(lr: float, freeze=None) -> optax.GradientTransformation:
         {"train": adam, "frozen": optax.set_to_zero()}, labels)
 
 
-def make_step_fn(loss_fn: Callable, optimizer: optax.GradientTransformation):
-    """One optimization step (reference: code/model_GP_solver_1d.py:151-158)."""
+def make_step_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
+                 prepare: Optional[Callable] = None):
+    """One optimization step (reference: code/model_GP_solver_1d.py:151-158).
+
+    ``prepare`` (params -> params) runs first, under the trace: profiled-u
+    solvers use it to overwrite the latent with its closed-form conditional
+    optimum u*(theta) each step (the envelope theorem makes the remaining
+    value_and_grad the exact profiled gradient; the "u" leaf is frozen in
+    the optimizer so its numerically-tiny residual gradient cannot drift it).
+    """
 
     def step(params, opt_state):
+        if prepare is not None:
+            params = prepare(params)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -109,9 +119,10 @@ def make_step_fn(loss_fn: Callable, optimizer: optax.GradientTransformation):
 
 
 def make_chunk_runner(loss_fn: Callable,
-                      optimizer: optax.GradientTransformation):
+                      optimizer: optax.GradientTransformation,
+                      prepare: Optional[Callable] = None):
     """Jitted scan over a static number of steps; returns final loss only."""
-    step_fn = make_step_fn(loss_fn, optimizer)
+    step_fn = make_step_fn(loss_fn, optimizer, prepare)
 
     @partial(jax.jit, static_argnums=(2,), donate_argnums=(0, 1))
     def run_chunk(params, opt_state, nsteps: int):
@@ -131,7 +142,8 @@ def make_fused_trainer(loss_fn: Callable,
                        optimizer: optax.GradientTransformation,
                        eval_fn: Callable, criterion_fn: Callable,
                        param_log_fn: Optional[Callable],
-                       nepoch: int, n_evals: int = 20):
+                       nepoch: int, n_evals: int = 20,
+                       prepare: Optional[Callable] = None):
     """Whole-run training as ONE jitted program (TPU flagship mode).
 
     The reference protocol — eval after step ``i`` whenever
@@ -149,7 +161,7 @@ def make_fused_trainer(loss_fn: Callable,
         raise ValueError(f"fused trainer needs nepoch divisible by "
                          f"{n_evals}, got {nepoch}")
     E = nepoch // n_evals
-    step_fn = make_step_fn(loss_fn, optimizer)
+    step_fn = make_step_fn(loss_fn, optimizer, prepare)
 
     def run_steps(carry, n):
         def body(_, c):
@@ -195,7 +207,8 @@ def fused_train(*, solver, params=None, nepoch: int,
         param_log_fn = jax.jit(param_log_fn)
     train, epochs = make_fused_trainer(
         solver._loss, optimizer, solver._eval_err, solver._criterion,
-        param_log_fn, nepoch)
+        param_log_fn, nepoch,
+        prepare=getattr(solver, "_prepare_step", None))
 
     start = time.time()
     params, opt_state, logs = train(params, opt_state)

@@ -45,7 +45,9 @@ class Solver1DExtra(Solver1D):
         super().__init__(problem, kernel, config, policy)
         self.kernel_extra = (get_kernel(kernel_extra)
                              if isinstance(kernel_extra, str) else kernel_extra)
-        self.optimizer_extra = optax.adam(learning_rate=config["lr"])
+        from gphm_tpu.models.base import freezable_adam
+        self.optimizer_extra = freezable_adam(
+            config["lr"], ["u"] if self.u_mode == "profiled" else None)
 
     # ------------------------------------------------------------------
     def _factor_extra(self, kernel_paras, solve_dtype=None):
@@ -143,6 +145,53 @@ class Solver1DExtra(Solver1D):
         loss_extra = solver.make_loss_extra(u_base, u_xx_base)
         predict_extra = solver.make_predict_extra(preds_base)
 
+        prepare_extra = None
+        if solver.u_mode == "profiled" and solver.eq_type == "poisson_1d":
+            # The phase-2 objective is the same quadratic-in-latent form
+            # with shifted data: boundary target b - u_base, source
+            # f - u_xx_base (reference loss:
+            # code/model_GP_solver_1d_extra.py:106-141). Same profiled
+            # update as Solver1D._u_star, on the extra kernel.
+            b_shift = (solver._bc_b
+                       - solver._bc_mask.reshape(-1, 1)
+                       * u_base.astype(solver._bc_b.dtype))
+            f_shift = solver.src_loss - u_xx_base.astype(
+                solver.src_loss.dtype)
+
+            def u_star_extra(params_extra):
+                kp = params_extra["kernel_paras"]
+                tau = jnp.exp(params_extra["log_tau"])
+                v = jnp.exp(params_extra["log_v"])
+                K = solver.axis.gram(solver.kernel_extra, kp,
+                                     jitter=solver.jitter,
+                                     wide=solver.wide_train)
+                Kd = solver._d2_extra(kp)
+                wt = solver.llk_weight * tau
+                S = K + wt * ((K * solver._bc_mask[None, :]) @ K) \
+                    + v * (Kd @ Kd)
+                ridge = jnp.trace(S) / solver.N_col
+                S = S + (1e-10 * ridge) * jnp.eye(solver.N_col,
+                                                  dtype=S.dtype)
+                rhs = wt * (K @ b_shift) + v * (Kd @ f_shift)
+                from gphm_tpu.ops.chol import policy_cholesky
+                F = policy_cholesky(S, solver.policy)
+                return (K @ F.solve(rhs)).astype(
+                    params_extra["u"].dtype).reshape(
+                        params_extra["u"].shape)
+
+            clip = float(solver.config.get("profile_clip", 20.0))
+
+            def prepare_extra(params_extra):
+                params_extra = {
+                    **params_extra,
+                    "log_tau": jnp.clip(params_extra["log_tau"],
+                                        -clip, clip),
+                    "log_v": jnp.clip(params_extra["log_v"], -clip, clip)}
+                return {**params_extra, "u": jax.lax.stop_gradient(
+                    u_star_extra(params_extra))}
+
+            self._prepare_extra = prepare_extra  # introspection/tests
+
         def eval_extra(params_extra):
             diff = predict_extra(params_extra) - solver.u_test.reshape(-1)
             return jnp.linalg.norm(diff) / jnp.linalg.norm(solver.u_test)
@@ -170,7 +219,8 @@ class Solver1DExtra(Solver1D):
         return TrainState(
             params=params_extra,
             opt_state=opt_state_extra,
-            run_chunk=make_chunk_runner(loss_extra, solver.optimizer_extra),
+            run_chunk=make_chunk_runner(loss_extra, solver.optimizer_extra,
+                                        prepare_extra),
             eval_fn=jax.jit(eval_extra),
             criterion_fn=lambda _p: base_criterion,
             param_log_fn=lambda _p: base_stats,
@@ -223,7 +273,9 @@ class Solver1DExtra(Solver1D):
             state = TrainState(
                 params=params,
                 opt_state=opt_state,
-                run_chunk=make_chunk_runner(self._loss, self.optimizer),
+                run_chunk=make_chunk_runner(
+                    self._loss, self.optimizer,
+                    getattr(self, "_prepare_step", None)),
                 eval_fn=self.eval_err,
                 criterion_fn=self.criterion,
                 param_log_fn=jax.jit(self.param_log),

@@ -82,12 +82,65 @@ class Solver1D:
             x2_64=getattr(problem, "X_col64", None), phase_exact=phase_exact)
         self.toeplitz = self.axis.toeplitz
 
-        from gphm_tpu.models.base import freezable_adam
-        self.optimizer = freezable_adam(config["lr"], config.get("freeze"))
         self.jitter = float(config.get("jitter", 1e-6))
         self.llk_weight = float(config["llk_weight"])
         self.logdet_flag = float(bool(config.get("logdet", True)))
         self.eq_type = problem.eq_type
+
+        # Profiled-latent mode (u_mode "profiled"): for a linear residual
+        # the MAP objective is quadratic in u given the kernel
+        # hyperparameters, so instead of dragging 400+ latent values along
+        # with Adam (the reference trains u by gradient descent for 1e5-1e6
+        # epochs, code/model_GP_solver_1d.py:151-158) each step writes the
+        # closed-form conditional optimum
+        #     u*(theta) = K S^-1 (w tau K E'b + v K_d f),
+        #     S = K + w tau K diag(m) K + v K_d K_d   (SPD; pure matmuls)
+        # and descends only on (kernel_paras, log_tau, log_v) with the
+        # envelope-theorem gradient (grad_u L(u*) = 0, so stop_gradient(u*)
+        # plus the standard loss gradient IS the profiled gradient).
+        # Measured: reaches the reference's 1e5-epoch error floor in ~1e3
+        # steps on poisson_1d configs (see PARITY round 2).
+        self.u_mode = str(config.get("u_mode", "adam"))
+        freeze = config.get("freeze")
+        if self.u_mode == "profiled":
+            if self.eq_type != "poisson_1d":
+                raise ValueError(
+                    f"u_mode='profiled' needs a residual linear in u; "
+                    f"{self.eq_type!r} is not (use u_mode='adam')")
+            freeze = list(freeze or []) + ["u"]
+            mask = np.zeros(self.N_col)
+            mask[self.bc_idx] = 1.0
+            self._bc_mask = jnp.asarray(
+                mask, jnp.float64 if self.wide_train else p.dtype)
+            b_full = np.zeros(self.N_col)
+            b_full[self.bc_idx] = np.asarray(self.bc_vals)
+            self._bc_b = jnp.asarray(b_full, self._bc_mask.dtype).reshape(
+                -1, 1)
+
+            # With u profiled, the MAP in (tau, v) is improper: bgap/egap
+            # can chase the growing precisions toward a degenerate ridge
+            # (observed: log_tau -> 37 and the S-solve conditioning
+            # collapses). Projected ascent: clip the log-precisions to a
+            # box where S stays f64-solvable. At the clip (default 20,
+            # tau = 5e8) the stationary boundary/residual gaps are ~1e-8 —
+            # far below any target accuracy, so the clip never binds the
+            # attainable error.
+            clip = float(config.get("profile_clip", 20.0))
+
+            def _prepare(params):
+                params = {**params,
+                          "log_tau": jnp.clip(params["log_tau"],
+                                              -clip, clip),
+                          "log_v": jnp.clip(params["log_v"], -clip, clip)}
+                return {**params, "u": jax.lax.stop_gradient(
+                    self._u_star(params))}
+
+            self._prepare_step = _prepare
+        elif self.u_mode != "adam":
+            raise ValueError(f"unknown u_mode {self.u_mode!r}")
+
+        from gphm_tpu.models.base import freezable_adam
+        self.optimizer = freezable_adam(config["lr"], freeze)
 
         # Posterior-mean prediction solves always run in f64 when x64 is
         # live: with f32-trained kernels the predict-time K^-1 u can hit
@@ -129,6 +182,25 @@ class Solver1D:
         if solve_dtype is not None:
             K = K.astype(solve_dtype)
         return policy_cholesky(K, self.policy)
+
+    def _u_star(self, params):
+        """Closed-form conditional optimum of the latent for a linear
+        residual (u_mode 'profiled'): solve S u~ = w tau K E'b + v K_d f,
+        u* = K u~, where S = K + w tau K diag(m) K + v K_d K_d. S is SPD
+        and built from matmuls only (no explicit K^-1), so it rides the MXU
+        and inherits the policy's factorization tier."""
+        tau = jnp.exp(params["log_tau"])
+        v = jnp.exp(params["log_v"])
+        K, Kd = self._K_and_Kd(params["kernel_paras"])
+        wt = self.llk_weight * tau
+        S = K + wt * ((K * self._bc_mask[None, :]) @ K) + v * (Kd @ Kd)
+        # relative ridge: S's scale is data-dependent (v ||f||^2 can reach
+        # 1e10), so the absolute kernel jitter alone is meaningless here
+        ridge = jnp.trace(S) / self.N_col
+        S = S + (1e-10 * ridge) * jnp.eye(self.N_col, dtype=S.dtype)
+        rhs = wt * (K @ self._bc_b) + v * (Kd @ self.src_loss)
+        F = policy_cholesky(S, self.policy)
+        return (K @ F.solve(rhs)).astype(params["u"].dtype)
 
     def _u_xx(self, kernel_paras, alpha):
         K_dxx = self.axis.gram(self.kernel, kernel_paras, deriv=2,
@@ -273,7 +345,8 @@ class Solver1D:
         state = TrainState(
             params=params,
             opt_state=opt_state,
-            run_chunk=make_chunk_runner(self._loss, self.optimizer),
+            run_chunk=make_chunk_runner(self._loss, self.optimizer,
+                                        getattr(self, "_prepare_step", None)),
             eval_fn=self.eval_err,
             criterion_fn=self.criterion,
             param_log_fn=jax.jit(self.param_log),

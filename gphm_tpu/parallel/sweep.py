@@ -61,7 +61,8 @@ def run_sweep(solver, batched_params, nepoch: int, *,
     'data' and everything else is replicated.
     """
     optimizer = solver.optimizer
-    step = make_step_fn(solver._loss, optimizer)
+    step = make_step_fn(solver._loss, optimizer,
+                        getattr(solver, "_prepare_step", None))
 
     opt_state = jax.vmap(optimizer.init)(batched_params)
 

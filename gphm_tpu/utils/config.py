@@ -74,6 +74,19 @@ class RunConfig:
                                   # on the source-term periodogram peaks
                                   # (ops/kernels.spectral_freqs) instead of
                                   # the reference's uniform linspace
+    u_mode: str = "adam"          # "profiled": for linear residuals, write
+                                  # the closed-form conditional optimum
+                                  # u*(theta) each step (one SPD solve) and
+                                  # descend only on the kernel/noise
+                                  # hyperparameters (envelope gradient) —
+                                  # reaches the reference's 1e5-epoch error
+                                  # floor in ~1e3 steps on poisson_1d
+    profile_clip: float = 20.0    # profiled mode: |log_tau|,|log_v| box
+                                  # (projected ascent; keeps the profiled
+                                  # system f64-solvable — the degenerate
+                                  # MAP ridge tau->inf is cut off at a
+                                  # point where the stationary gaps ~1e-8
+                                  # no longer bind accuracy)
     multi_start: int = 1          # >1: warm up this many mixture-frequency
                                   # initializations concurrently (vmapped /
                                   # data-axis-sharded) and continue the
@@ -110,7 +123,8 @@ class RunConfig:
             "freq_scale": self.freq_scale, "logdet": self.logdet,
             "tol": self.tol, "jitter": self.jitter,
             "change_point": self.change_point, "solve": self.solve,
-            "freq_init": self.freq_init,
+            "freq_init": self.freq_init, "u_mode": self.u_mode,
+            "profile_clip": self.profile_clip,
         }
 
 
