@@ -50,17 +50,17 @@ seg result_log_prof --equation poisson_1d-sin_cos --quiet \
 # shipped N=400, change_point 0.5 (base needs its plateau before freeze)
 seg result_log_prof --equation poisson_1d-x2_add_sinx --extra --quiet \
     --u-mode profiled --dtype refined --freq-init spectral \
-    --change-point 0.5 --nepoch 30000 --n-evals 60
+    --change-point 0.5 --nepoch 30000 --n-evals 150
 
 # G4: same at N_col=900 (the density the reference uses for hard cases)
 seg result_log_prof2 --equation poisson_1d-x2_add_sinx --extra --quiet \
     --u-mode profiled --dtype refined --freq-init spectral \
-    --change-point 0.5 --N-col 900 --nepoch 30000 --n-evals 60
+    --change-point 0.5 --N-col 900 --nepoch 30000 --n-evals 150
 
 # G5: mix_sin — reference's 1e-3..1e-4 flagship hard case, profiled two-GP
 seg result_log_prof --equation poisson_1d-mix_sin --extra --quiet \
     --u-mode profiled --dtype refined --change-point 0.5 \
-    --nepoch 30000 --n-evals 60
+    --nepoch 30000 --n-evals 150
 
 # G6: x_time_sinx spectral full-budget (PARITY's dangling claim) —
 # deterministic pipeline, shipped protocol + spectral init
