@@ -58,9 +58,9 @@ def main():
     ]
     for mode, over in variants:
         try:
-            cfg = dict(Q=30, lr=0.01, llk_weight=200.0,
-                       tol=-1.0, freq_scale=20.0, jitter=1e-5,
-                       cg_tol=1e-6, cg_maxiter=600, **over)
+            cfg = dict(dict(Q=30, lr=0.01, llk_weight=200.0,
+                            tol=-1.0, freq_scale=20.0, jitter=1e-5,
+                            cg_tol=1e-6, cg_maxiter=600), **over)
             solver = Solver2D(prob, "Matern52_Cos_1d", cfg, policy)
             rc = make_chunk_runner(solver._loss, solver.optimizer)
             p = solver.init_params()
