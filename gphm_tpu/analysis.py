@@ -23,23 +23,36 @@ from gphm_tpu.utils.checkpoint import load_checkpoint, load_meta
 from gphm_tpu.utils.config import RunConfig
 
 
-def load_model(directory: str) -> Tuple[object, dict]:
-    """Rebuild (solver, params) from a run directory's fold-0 checkpoint."""
-    path = os.path.join(directory, "params_fold0.npz")
+def load_model(directory: str, prefer_best: bool = True) \
+        -> Tuple[object, dict]:
+    """Rebuild (solver, params) from a run directory's fold-0 checkpoint.
+
+    With ``prefer_best`` (default) the argmin-eval checkpoint
+    ``params_best_fold0.npz`` is used when present: the final state can be
+    far worse than the run's reported min rel-L2 (sharp post-dip drift in
+    two-GP phase 2). Pass ``prefer_best=False`` for the final state.
+    """
+    best_path = os.path.join(directory, "params_best_fold0.npz")
+    use_best = prefer_best and os.path.exists(best_path)
+    path = best_path if use_best else \
+        os.path.join(directory, "params_fold0.npz")
     meta = load_meta(path)["meta"]
     config = RunConfig(**{k: v for k, v in meta.items()
                           if k in RunConfig.__dataclass_fields__})
     solver = make_solver(config)
     if config.family == "1d_extra":
         # phase-2 checkpoints hold the extra-GP params; the base params are
-        # stored alongside when the phase switch was reached
+        # stored alongside when the phase switch was reached. The best
+        # checkpoint records which phase its params belong to.
         base_path = os.path.join(directory, "base_params_fold0.npz")
-        template = solver.init_params_extra(solver.init_params())
-        if os.path.exists(base_path):
+        phase2 = bool(meta["phase2"]) if use_best \
+            else os.path.exists(base_path)
+        if phase2:
             base = load_checkpoint(base_path, solver.init_params())
-            params = load_checkpoint(path, template)
+            params = load_checkpoint(
+                path, solver.init_params_extra(solver.init_params()))
             return solver, {"base": base, "extra": params}
-        # run ended in phase 1
+        # phase-1 params (run ended — or bottomed out — before the switch)
         params = load_checkpoint(path, solver.init_params())
         return solver, {"base": params, "extra": None}
     params = load_checkpoint(path, solver.init_params())

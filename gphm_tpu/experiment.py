@@ -113,6 +113,7 @@ def _train_scheduled(config: RunConfig, nepoch: int, mesh, *,
 
     merged_log, wall, results = {}, 0.0, []
     last = None
+    best_params, best_epoch = None, None
     for dtype, stop in segments:
         if stop <= start:
             continue
@@ -149,6 +150,11 @@ def _train_scheduled(config: RunConfig, nepoch: int, mesh, *,
         wall += res.wall_time
         min_err = min(min_err, res.min_err)
         err_inc = int(res.extras.get("error_increase_count", err_inc))
+        if res.extras.get("best_params") is not None:
+            # a segment only records best_params when it improved the
+            # running (cross-segment) minimum it was seeded with
+            best_params = res.extras["best_params"]
+            best_epoch = res.extras.get("best_epoch")
         if res.extras.get("base_params") is not None:
             base_params = res.extras["base_params"]
         if res.early_stopping.get("flag"):
@@ -160,6 +166,8 @@ def _train_scheduled(config: RunConfig, nepoch: int, mesh, *,
         last, log=merged_log, min_err=min_err, wall_time=wall)
     out.extras = dict(last.extras)
     out.extras["base_params"] = base_params
+    out.extras["best_params"] = best_params
+    out.extras["best_epoch"] = best_epoch
     out.extras["segments"] = [(d, s) for d, s in segments]
     return out
 
@@ -359,6 +367,20 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                 save_checkpoint(
                     os.path.join(directory, "base_params_fold0.npz"),
                     res.extras["base_params"])
+            if res.extras.get("best_params") is not None:
+                # the argmin-eval state: with sharp post-dip drift (two-GP
+                # phase 2) the final params can be far worse than the
+                # reported min rel-L2 — post-hoc prediction should come
+                # from this checkpoint
+                be = res.extras.get("best_epoch")
+                phase2 = (config.family == "1d_extra" and be is not None
+                          and be >= int(nepoch * config.change_point))
+                save_checkpoint(
+                    os.path.join(directory, "params_best_fold0.npz"),
+                    res.extras["best_params"],
+                    meta={"epoch": be, "min_err": res.min_err,
+                          "phase2": bool(phase2),
+                          **dataclasses.asdict(config)})
             if figures:
                 try:
                     from gphm_tpu.utils.plotting import training_figure

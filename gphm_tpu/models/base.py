@@ -318,6 +318,7 @@ def chunked_train(
 
     epoch = start_epoch
     loss = float("nan")
+    best_params, best_epoch = None, None
     for t in targets:
         nsteps = t - epoch
         if nsteps > 0:
@@ -335,6 +336,13 @@ def chunked_train(
             loss_f = float(loss)
             if err < min_err:
                 min_err = err
+                # keep the argmin state: sharp post-dip drift (two-GP
+                # phase 2) can leave the final params far worse than the
+                # reported min (the reference stores only final params,
+                # code/utils.py:580-597). Copy, not alias: the chunk
+                # runner donates its input buffers.
+                best_params = jax.tree_util.tree_map(jnp.copy, state.params)
+                best_epoch = i
             elif err - min_err > threshold:
                 error_increase_count += 1
 
@@ -391,4 +399,6 @@ def chunked_train(
                        early_stopping=early_stopping,
                        wall_time=time.time() - start,
                        extras={"error_increase_count": error_increase_count,
-                               "last_epoch": epoch})
+                               "last_epoch": epoch,
+                               "best_params": best_params,
+                               "best_epoch": best_epoch})

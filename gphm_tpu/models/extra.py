@@ -56,7 +56,8 @@ class Solver1DExtra(Solver1D):
                            wide=solve_dtype is not None or self.wide_train)
         if solve_dtype is not None:
             K = K.astype(solve_dtype)
-        return policy_cholesky(K, self.policy)
+            return policy_cholesky(K, self.policy)  # prediction/eval tier
+        return self._loss_factor(K)
 
     def _d2_extra(self, kernel_paras):
         return self.axis.gram(self.kernel_extra, kernel_paras, deriv=2,
@@ -116,6 +117,8 @@ class Solver1DExtra(Solver1D):
     def init_params_extra(self, base_params):
         """Reference phase-2 init (code/model_GP_solver_1d_extra.py:269-278)."""
         d = self.policy.dtype
+        ud = jnp.float64 if (self.u_mode == "profiled"
+                             and self.wide_train) else d
         return {
             # copy, not alias: the chunk runner donates its input buffers, so
             # sharing storage with the frozen base params would delete them
@@ -125,7 +128,7 @@ class Solver1DExtra(Solver1D):
                 "log-w": jnp.zeros((1,), d),
                 "log-ls": jnp.zeros((1,), d),
             },
-            "u": jnp.zeros((self.N_col, 1), d),
+            "u": jnp.zeros((self.N_col, 1), ud),
         }
 
     # ------------------------------------------------------------------
@@ -173,8 +176,10 @@ class Solver1DExtra(Solver1D):
                 S = S + (1e-10 * ridge) * jnp.eye(solver.N_col,
                                                   dtype=S.dtype)
                 rhs = wt * (K @ b_shift) + v * (Kd @ f_shift)
-                from gphm_tpu.ops.chol import policy_cholesky
-                F = policy_cholesky(S, solver.policy)
+                # wide-tier factorization, as in Solver1D._u_star
+                from gphm_tpu.ops.chol import robust_cholesky
+                F = robust_cholesky(S, base_jitter=solver.jitter,
+                                    max_tries=0)
                 return (K @ F.solve(rhs)).astype(
                     params_extra["u"].dtype).reshape(
                         params_extra["u"].shape)

@@ -107,6 +107,27 @@ class Solver1D:
                 raise ValueError(
                     f"u_mode='profiled' needs a residual linear in u; "
                     f"{self.eq_type!r} is not (use u_mode='adam')")
+            # Profiled training factors (S and the loss's K) run at the
+            # wide tier end to end: the envelope gradient is taken AT the
+            # sharp conditional optimum, where the refined tier's f32-factor
+            # PCG logdet-gradient error (~1e-3) overwhelms the true signal
+            # (measured on TPU: refined-loss profiled training ascends,
+            # wide-exact descends identically to CPU f64). On TPU the f64
+            # factorization goes through the custom-call-free blocked HLO
+            # tier. Prediction/eval keeps the refined path (validated, and
+            # the blocked-f64 two-GP eval graph aborts the axon compiler).
+            self._wide_exact = self.wide_train
+            if not (p.dtype == jnp.float64 or self.wide_train):
+                # cond(S) ~ cond(K)^2 (measured ~1e14 at N=400): an f32
+                # factorization fails outright and the f32-preconditioned
+                # PCG stalls at ~0.4 relative error on u* (the init-phase
+                # optimum lives in exactly the directions the jittered
+                # preconditioner cannot reach). The S solve therefore
+                # always runs at the wide f64 tier — on TPU through the
+                # custom-call-free blocked Cholesky (ops/blocked_linalg).
+                raise ValueError(
+                    "u_mode='profiled' needs f64-quality solves: use "
+                    "dtype 'float64' (CPU) or 'refined' (TPU)")
             freeze = list(freeze or []) + ["u"]
             mask = np.zeros(self.N_col)
             mask[self.bc_idx] = 1.0
@@ -199,7 +220,12 @@ class Solver1D:
         ridge = jnp.trace(S) / self.N_col
         S = S + (1e-10 * ridge) * jnp.eye(self.N_col, dtype=S.dtype)
         rhs = wt * (K @ self._bc_b) + v * (Kd @ self.src_loss)
-        F = policy_cholesky(S, self.policy)
+        # cond(S) ~ cond(K)^2: the factorization must run at S's own (wide)
+        # precision — robust_cholesky routes f64 through the blocked HLO
+        # tier on TPU (no custom calls; the f32-PCG refined path stalls at
+        # ~0.4 relative u* error at this conditioning, measured)
+        from gphm_tpu.ops.chol import robust_cholesky
+        F = robust_cholesky(S, base_jitter=self.jitter, max_tries=0)
         return (K @ F.solve(rhs)).astype(params["u"].dtype)
 
     def _u_xx(self, kernel_paras, alpha):
@@ -216,10 +242,18 @@ class Solver1D:
             return u_xx + u * (u ** 2 - 1) - self.src_loss
         raise NotImplementedError(self.eq_type)
 
+    def _loss_factor(self, K):
+        """Training-loss factor of K: wide-exact in profiled mode (see
+        __init__), the policy tier otherwise."""
+        if getattr(self, "_wide_exact", False):
+            from gphm_tpu.ops.chol import robust_cholesky
+            return robust_cholesky(K, max_tries=0)
+        return policy_cholesky(K, self.policy)
+
     def gaps(self, params):
         u = params["u"]
         K, Kd = self._K_and_Kd(params["kernel_paras"])
-        F = policy_cholesky(K, self.policy)
+        F = self._loss_factor(K)
         alpha = F.solve(u)
         u_xx = Kd @ alpha
         boundary_gap = jnp.sum(
@@ -272,8 +306,15 @@ class Solver1D:
         matching every shipped reference config)."""
         from gphm_tpu.problems.init_u import get_init_u
         d = self.policy.dtype
+        # profiled mode: the latent carries the closed-form optimum, whose
+        # precision the loss consumes through K^-1 u at cond(K) ~ 1e7 — an
+        # f32 round-trip there costs O(1) in the derivative lift (same
+        # failure as f32 prediction solves, PARITY numerics notes), so u
+        # stays at the wide tier
+        ud = jnp.float64 if (self.u_mode == "profiled"
+                             and self.wide_train) else d
         u0 = get_init_u(self.config.get("init_u", "zeros"))(
-            self.N_col, self.bc_vals, key=jax.random.PRNGKey(seed), dtype=d)
+            self.N_col, self.bc_vals, key=jax.random.PRNGKey(seed), dtype=ud)
         freqs = None
         if self.config.get("freq_init", "linspace") == "spectral":
             # periodogram-of-source frequency placement (ops/kernels.py

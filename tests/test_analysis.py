@@ -36,9 +36,14 @@ def test_load_model_roundtrip_2d(tmp_path):
 def test_load_model_extra_two_phase(tmp_path):
     d, cfg = _run(tmp_path, "poisson_1d-mix_sin", nepoch=40, N_col=32, Q=4,
                   kernel_extra="Matern52_1d", change_point=0.1)
-    solver, params = load_model(d)
+    # final state is phase-2 (the run crossed the switch)
+    solver, params = load_model(d, prefer_best=False)
     assert params["extra"] is not None
     assert np.isfinite(rel_l2(solver, params))
+    # the best checkpoint may be from either phase; it must load and
+    # reproduce a finite error
+    solver_b, params_b = load_model(d)
+    assert np.isfinite(rel_l2(solver_b, params_b))
 
 
 def test_compare_runs_figure(tmp_path):

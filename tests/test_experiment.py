@@ -222,3 +222,56 @@ def test_n_evals_cadence_same_trajectory():
                                rtol=1e-12, atol=1e-15)
     # the dense cadence's min can only be <= the sparse one's
     assert b.min_err <= a.min_err + 1e-15
+
+
+def test_best_params_checkpoint_is_argmin_state(tmp_path):
+    """chunked_train keeps the argmin-eval params; the saved best
+    checkpoint reproduces the reported min rel-L2 (the final state may be
+    worse — reference stores only final params, code/utils.py:580-597)."""
+    from gphm_tpu.analysis import load_model, rel_l2
+
+    cfg = load_config("poisson_1d-single_sin", dtype="float64", N_col=48,
+                      nepoch=40, Q=6)
+    res = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                         figures=False)
+    d = run_dir(str(tmp_path), cfg.equation, cfg.kernel, None, 40, 6)
+    best_path = os.path.join(d, "params_best_fold0.npz")
+    assert os.path.exists(best_path)
+
+    solver, params = load_model(d)          # prefers the best checkpoint
+    np.testing.assert_allclose(rel_l2(solver, params), res.err_mean,
+                               rtol=1e-8)
+    # final-state loading still works
+    solver_f, params_f = load_model(d, prefer_best=False)
+    assert np.isfinite(rel_l2(solver_f, params_f))
+
+
+def test_best_params_tracked_across_schedule_segments(tmp_path):
+    from gphm_tpu.analysis import load_model, rel_l2
+
+    cfg = load_config("poisson_1d-single_sin", N_col=48, nepoch=40, Q=6,
+                      dtype_schedule="float64:0.5,float64:0.5")
+    res = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                         figures=False)
+    d = run_dir(str(tmp_path), cfg.equation, cfg.kernel, None, 40, 6)
+    solver, params = load_model(d)
+    np.testing.assert_allclose(rel_l2(solver, params), res.err_mean,
+                               rtol=1e-8)
+
+
+def test_best_params_two_gp_phase2(tmp_path):
+    """Two-GP: the best checkpoint records its phase and load_model pairs
+    it with the frozen base for prediction."""
+    from gphm_tpu.analysis import load_model, rel_l2
+
+    cfg = load_config("poisson_1d-single_sin", dtype="float64", N_col=48,
+                      nepoch=40, Q=6, kernel_extra="Matern52_1d",
+                      change_point=0.5)
+    res = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                         figures=False)
+    d = run_dir(str(tmp_path), cfg.equation, cfg.kernel, "Matern52_1d",
+                40, 6)
+    assert os.path.exists(os.path.join(d, "params_best_fold0.npz"))
+    solver, params = load_model(d)
+    np.testing.assert_allclose(rel_l2(solver, params), res.err_mean,
+                               rtol=1e-8)
