@@ -75,11 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--u-mode", default=None, dest="u_mode",
                    choices=["adam", "profiled"],
                    help="latent update: 'adam' (reference protocol) or "
-                        "'profiled' — for linear residuals, write the "
-                        "closed-form conditional optimum u*(theta) each "
-                        "step and descend only on the hyperparameters "
-                        "(~100x fewer epochs to the same error on "
-                        "poisson_1d)")
+                        "'profiled' — for linear residuals (poisson_1d, "
+                        "poisson_2d, advection), write the closed-form "
+                        "conditional optimum u*(theta) each step and "
+                        "descend only on the hyperparameters (~100x fewer "
+                        "epochs to the same error)")
+    p.add_argument("--profile-cg-iters", type=int, default=None,
+                   dest="profile_cg_iters",
+                   help="2D profiled mode: fixed PCG iterations for the "
+                        "U*(theta) normal solve (default 60)")
     p.add_argument("--multi-start", type=int, default=None,
                    dest="multi_start",
                    help="warm up this many mixture-frequency "
@@ -150,7 +154,8 @@ def main(argv=None) -> int:
                      freq_init=args.freq_init, n_evals=args.n_evals,
                      multi_start=args.multi_start,
                      multi_start_frac=args.multi_start_frac,
-                     u_mode=args.u_mode)
+                     u_mode=args.u_mode,
+                     profile_cg_iters=args.profile_cg_iters)
     if args.extra:
         if args.equation not in EQUATIONS_1D:
             print("--extra is only supported for 1D equations",

@@ -94,14 +94,76 @@ class Solver2D:
             x2_64=getattr(problem, "y_col64", None), phase_exact=phase_exact)
         self.toeplitz = self.axis1.toeplitz and self.axis2.toeplitz
 
-        from gphm_tpu.models.base import freezable_adam
-        self.optimizer = freezable_adam(config["lr"], config.get("freeze"))
         self.jitter = float(config.get("jitter", 1e-6))
         self.llk_weight = float(config["llk_weight"])
         self.logdet_flag = float(bool(config.get("logdet", True)))
         self.eq_type = problem.eq_type
         # advection uses first-derivative cross-covariances, Poisson/AC second
         self.deriv_order = 1 if self.eq_type == "advection" else 2
+
+        # Profiled-latent mode (u_mode "profiled"): the 2D MAP objective is
+        # quadratic in the grid latent U for a linear residual, so each step
+        # overwrites U with its conditional optimum U*(theta) instead of
+        # descending on 160k latent values with Adam (see Solver1D.__init__
+        # and ops/kron_profile.py for the derivation).  Unlike 1D there is
+        # no dense normal factorization at N=400^2: U* comes from
+        # warm-started eigenbasis-preconditioned CG on the matmul-only
+        # normal operator S(V), U = K1 V K2.
+        self.u_mode = str(config.get("u_mode", "adam"))
+        freeze = config.get("freeze")
+        if self.u_mode == "profiled":
+            if self.eq_type not in ("poisson_2d", "advection"):
+                raise ValueError(
+                    f"u_mode='profiled' needs a residual linear in U; "
+                    f"{self.eq_type!r} is not (use u_mode='adam')")
+            # Same tier rule as 1D: the envelope gradient is taken AT the
+            # sharp conditional optimum, where refined-tier logdet-gradient
+            # error overwhelms the signal — the loss factors run wide-exact
+            # (f64; blocked HLO on TPU) and U itself stays f64.
+            self._wide_exact = self.wide_train
+            if not (p.dtype == jnp.float64 or self.wide_train):
+                raise ValueError(
+                    "u_mode='profiled' needs f64-quality solves: use "
+                    "dtype 'float64' (CPU) or 'refined' (TPU)")
+            freeze = list(freeze or []) + ["U"]
+            wd = jnp.float64 if self.wide_train else p.dtype
+            # Boundary mask/target grids.  The reference's boundary vector
+            # hstacks the four edges (code/model_GP_solver_2d.py:127), so
+            # corners appear twice: the mask r_i + c_j reproduces that
+            # double weight exactly.
+            m = np.zeros((self.N1, self.N2))
+            m[0, :] += 1.0
+            m[-1, :] += 1.0
+            m[:, 0] += 1.0
+            m[:, -1] += 1.0
+            bc = np.asarray(problem.bc_vals, np.float64)
+            B = np.zeros((self.N1, self.N2))
+            B[0, :] = bc[:self.N2]
+            B[-1, :] = bc[self.N2:2 * self.N2]
+            B[:, 0] = bc[2 * self.N2:2 * self.N2 + self.N1]
+            B[:, -1] = bc[2 * self.N2 + self.N1:]
+            self._bc_mask = jnp.asarray(m, wd)
+            self._bc_grid = jnp.asarray(B, wd)
+            self.profile_cg_iters = int(config.get("profile_cg_iters", 60))
+
+            # Projected ascent on the precisions (see Solver1D: with U
+            # profiled the MAP in (tau, v) is improper).
+            clip = float(config.get("profile_clip", 20.0))
+
+            def _prepare(params):
+                params = {**params,
+                          "log_tau": jnp.clip(params["log_tau"],
+                                              -clip, clip),
+                          "log_v": jnp.clip(params["log_v"], -clip, clip)}
+                return {**params, "U": jax.lax.stop_gradient(
+                    self._u_star(params))}
+
+            self._prepare_step = _prepare
+        elif self.u_mode != "adam":
+            raise ValueError(f"unknown u_mode {self.u_mode!r}")
+
+        from gphm_tpu.models.base import freezable_adam
+        self.optimizer = freezable_adam(config["lr"], freeze)
 
         # solve mode: "cholesky" (dense factors, exact logdet — reference
         # parity) or "cg" (Kronecker-matvec CG path for beyond-reference
@@ -195,6 +257,42 @@ class Solver2D:
         F = policy_cholesky(K, self.policy)
         return F.solve(B.astype(F.L.dtype)), F.logdet()
 
+    def _loss_solve(self, K, B):
+        """Training-loss solve of K: wide-exact in profiled mode (the
+        envelope gradient needs f64-quality logdet gradients — see
+        Solver1D._loss_factor), the configured solve mode otherwise."""
+        if getattr(self, "_wide_exact", False):
+            from gphm_tpu.ops.chol import robust_cholesky
+            F = robust_cholesky(K, max_tries=0)
+            return F.solve(B.astype(K.dtype)), F.logdet()
+        return self._psd_solve(K, B)
+
+    def _u_star(self, params):
+        """Closed-form conditional optimum of the grid latent for a linear
+        residual (u_mode 'profiled'): warm-started preconditioned CG on the
+        matmul-only normal operator (ops/kron_profile.py)."""
+        from gphm_tpu.ops.chol import robust_cholesky
+        from gphm_tpu.ops.kron_profile import profiled_u_star_2d
+        tau = jnp.exp(params["log_tau"])
+        v = jnp.exp(params["log_v"])
+        wt = self.llk_weight * tau
+        kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
+        K1, Kd1 = self._K_and_Kd(self.x_col, self.axis1, kp1)
+        K2, Kd2 = self._K_and_Kd(self.y_col, self.axis2, kp2)
+        a1 = jnp.asarray(self.beta if self.eq_type == "advection" else 1.0,
+                         K1.dtype)
+        # warm start: the previous step's optimum in V-coordinates
+        # (V = K1^-1 U K2^-1; the factors are the same wide-exact subgraphs
+        # the loss builds, so XLA CSE shares them)
+        F1 = robust_cholesky(K1, max_tries=0)
+        F2 = robust_cholesky(K2, max_tries=0)
+        V0 = F2.solve(F1.solve(params["U"].astype(K1.dtype)).T).T
+        U, _ = profiled_u_star_2d(
+            K1, Kd1, K2, Kd2, self._bc_mask, self._bc_grid,
+            self.src_loss.astype(K1.dtype), wt, v, a1, V0,
+            self.profile_cg_iters)
+        return U.astype(params["U"].dtype)
+
     def lifts(self, params):
         """Per-dimension solves and derivative lifts of U."""
         U = params["U"]
@@ -202,7 +300,8 @@ class Solver2D:
         K1, Kd1 = self._K_and_Kd(self.x_col, self.axis1, kp1)
         K2, Kd2 = self._K_and_Kd(self.y_col, self.axis2, kp2)
         if self.N1 == self.N2 and self.solve_mode == "cholesky" \
-                and self.config.get("batched_chol", False):
+                and self.config.get("batched_chol", False) \
+                and not getattr(self, "_wide_exact", False):
             # optional: stack the two per-dim factorizations into one batched
             # Cholesky. Measured ~8% SLOWER than two independent factors on
             # TPU v5e (XLA does not parallelize the chol batch), so off by
@@ -215,8 +314,8 @@ class Solver2D:
             K1inv_U, K2inv_Ut = X[0], X[1]
             ld1, ld2 = ld[0], ld[1]
         else:
-            K1inv_U, ld1 = self._psd_solve(K1, U)
-            K2inv_Ut, ld2 = self._psd_solve(K2, U.T)
+            K1inv_U, ld1 = self._loss_solve(K1, U)
+            K2inv_Ut, ld2 = self._loss_solve(K2, U.T)
         U_dx = Kd1 @ K1inv_U            # U_xx (or U_x for advection)
         U_dy = (Kd2 @ K2inv_Ut).T       # U_yy (or U_y)
         return ld1, ld2, K1inv_U, K2inv_Ut, U_dx, U_dy
@@ -310,12 +409,17 @@ class Solver2D:
             freqs2 = spectral_freqs(
                 x2 if x2 is not None else np.asarray(self.y_col), src.T, Q,
                 fs)
+        # profiled mode: U carries the closed-form optimum, consumed by the
+        # loss through K^-1 U at cond(K) ~ 1e7 — it stays at the wide tier
+        # (same rationale as Solver1D.init_params)
+        ud = jnp.float64 if (self.u_mode == "profiled"
+                             and self.wide_train) else d
         return {
             "log_tau": jnp.zeros((), d),
             "log_v": jnp.zeros((), d),
             "kernel_paras_1": init_mixture_params(Q, fs, d, freqs=freqs1),
             "kernel_paras_2": init_mixture_params(Q, fs, d, freqs=freqs2),
-            "U": jnp.zeros((self.N1, self.N2), d),
+            "U": jnp.zeros((self.N1, self.N2), ud),
         }
 
     def param_log(self, params):
@@ -339,6 +443,11 @@ class Solver2D:
             mode = "chunked"  # resume keeps the absolute eval cadence
         if on_checkpoint is not None or nan_policy == "raise":
             mode = "chunked"  # fused has no checkpoints / NaN guard
+        if mesh is not None and self.u_mode == "profiled":
+            raise ValueError(
+                "u_mode='profiled' does not yet run sharded (per-axis eigh "
+                "inside the step is not mesh-partitioned); drop --mesh or "
+                "use u_mode='adam'")
         if mesh is not None:
             # sharded training (SURVEY §2.4 TP): U columns are committed to
             # the mesh's model axis; the lifts (K_d K^-1 U) are
@@ -368,7 +477,8 @@ class Solver2D:
         state = TrainState(
             params=params,
             opt_state=opt_state,
-            run_chunk=make_chunk_runner(self._loss, self.optimizer),
+            run_chunk=make_chunk_runner(self._loss, self.optimizer,
+                                        getattr(self, "_prepare_step", None)),
             eval_fn=self.eval_err,
             criterion_fn=self.criterion,
             param_log_fn=jax.jit(self.param_log),

@@ -76,8 +76,10 @@ class RunConfig:
                                   # the reference's uniform linspace
     u_mode: str = "adam"          # "profiled": for linear residuals, write
                                   # the closed-form conditional optimum
-                                  # u*(theta) each step (one SPD solve) and
-                                  # descend only on the kernel/noise
+                                  # u*(theta) each step (1D: one SPD solve;
+                                  # 2D: warm-started eigenbasis-
+                                  # preconditioned CG, ops/kron_profile.py)
+                                  # and descend only on the kernel/noise
                                   # hyperparameters (envelope gradient) —
                                   # reaches the reference's 1e5-epoch error
                                   # floor in ~1e3 steps on poisson_1d
@@ -87,6 +89,8 @@ class RunConfig:
                                   # MAP ridge tau->inf is cut off at a
                                   # point where the stationary gaps ~1e-8
                                   # no longer bind accuracy)
+    profile_cg_iters: int = 60    # 2D profiled mode: fixed PCG iterations
+                                  # for the U*(theta) normal solve
     multi_start: int = 1          # >1: warm up this many mixture-frequency
                                   # initializations concurrently (vmapped /
                                   # data-axis-sharded) and continue the
@@ -125,6 +129,7 @@ class RunConfig:
             "change_point": self.change_point, "solve": self.solve,
             "freq_init": self.freq_init, "u_mode": self.u_mode,
             "profile_clip": self.profile_clip,
+            "profile_cg_iters": self.profile_cg_iters,
         }
 
 

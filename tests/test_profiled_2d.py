@@ -1,0 +1,149 @@
+"""Profiled-latent mode for 2D linear PDEs (u_mode='profiled' on Solver2D).
+
+The 2D normal equations have no per-axis factorization (the residual data
+term couples every Kronecker eigenbasis), so U*(theta) comes from
+warm-started eigenbasis-preconditioned CG on the matmul-only operator
+S(V), U = K1 V K2 (ops/kron_profile.py).  Checks: U* solves the dense
+normal equations exactly (Poisson and advection — the advection case
+exercises the antisymmetric first-derivative cross-Gram and a1=beta),
+U* is the conditional optimum of the actual loss, the envelope gradient
+matches finite differences, training descends far faster than the Adam-u
+protocol, and the product surface (run_experiment) composes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gphm_tpu.models.solver_2d import Solver2D
+from gphm_tpu.precision import Policy
+from gphm_tpu.problems.equations import make_problem
+
+POLICY = Policy(dtype=jnp.float64, max_jitter_tries=0)
+CFG = dict(Q=4, lr=0.01, llk_weight=100.0, logdet=True, tol=-1.0,
+           freq_scale=10.0, jitter=1e-6, u_mode="profiled",
+           profile_cg_iters=250)
+
+
+def make_solver(equation="poisson_2d-sin_sin", N=14, beta=0.0, **kw):
+    prob = make_problem(equation, N_col=N, scale=2 * np.pi, beta=beta)
+    return Solver2D(prob, "Matern52_Cos_1d", dict(CFG, **kw), POLICY)
+
+
+def moderate_params(solver):
+    p = solver.init_params()
+    p["log_tau"] = jnp.asarray(3.0)
+    p["log_v"] = jnp.asarray(1.0)
+    return p
+
+
+def quadratic_part(solver, params):
+    """The U-dependent part of the loss as a function of vec(U)."""
+
+    def f(vecU):
+        U = vecU.reshape(solver.N1, solver.N2)
+        return solver._loss({**params, "U": U})
+
+    return f
+
+
+@pytest.mark.parametrize("equation,beta,scale", [
+    ("poisson_2d-sin_sin", 0.0, 2 * np.pi),
+    ("advection-sin", 5.0, 1.0),
+])
+def test_u_star_solves_dense_normal_equations(equation, beta, scale):
+    """U* from the Kronecker PCG equals the dense N^2 x N^2 normal solve."""
+    prob = make_problem(equation, N_col=13, scale=scale, beta=beta)
+    solver = Solver2D(prob, "Matern52_Cos_1d", CFG, POLICY)
+    p = moderate_params(solver)
+    f = quadratic_part(solver, p)
+    n = solver.N1 * solver.N2
+    z = jnp.zeros(n)
+    # loss(U) = 0.5 vec(U)' H vec(U) - b' vec(U) + const  (exact: quadratic)
+    H = jax.hessian(f)(z)
+    g0 = jax.grad(f)(z)
+    u_dense = jnp.linalg.solve(H, -g0).reshape(solver.N1, solver.N2)
+    u_star = solver._u_star(p)
+    err = (jnp.linalg.norm(u_star - u_dense)
+           / jnp.linalg.norm(u_dense))
+    assert float(err) < 1e-8
+
+
+def test_u_star_is_conditional_optimum():
+    solver = make_solver(N=16)
+    p = moderate_params(solver)
+    U = solver._u_star(p)
+    g = jax.grad(solver._loss)({**p, "U": U})["U"]
+    g0 = jax.grad(solver._loss)({**p, "U": jnp.zeros_like(U)})["U"]
+    assert float(jnp.linalg.norm(g)) < 1e-8 * float(jnp.linalg.norm(g0))
+    l_star = float(solver._loss({**p, "U": U}))
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        dU = jnp.asarray(rng.normal(size=U.shape)) * 1e-3
+        assert float(solver._loss({**p, "U": U + dU})) > l_star
+
+
+def test_envelope_gradient_matches_finite_differences():
+    solver = make_solver(N=12)
+    p = moderate_params(solver)
+
+    def profiled_loss(params):
+        U = jax.lax.stop_gradient(solver._u_star(params))
+        return solver._loss({**params, "U": U})
+
+    g = jax.grad(profiled_loss)(p)
+    for key in ("log_tau", "log_v"):
+        eps = 1e-5
+        fd = (float(profiled_loss({**p, key: p[key] + eps}))
+              - float(profiled_loss({**p, key: p[key] - eps}))) / (2 * eps)
+        np.testing.assert_allclose(float(g[key]), fd, rtol=1e-2)
+    eps = 1e-5
+    for j in (0, 2):
+        kp = p["kernel_paras_1"]
+        fp = kp["freq"].at[j].add(eps)
+        fm = kp["freq"].at[j].add(-eps)
+        fd = (float(profiled_loss({**p, "kernel_paras_1": {**kp, "freq": fp}}))
+              - float(profiled_loss({**p, "kernel_paras_1":
+                                     {**kp, "freq": fm}}))) / (2 * eps)
+        np.testing.assert_allclose(float(g["kernel_paras_1"]["freq"][j]), fd,
+                                   rtol=1e-2, atol=1e-8)
+
+
+def test_profiled_converges_much_faster_than_adam_u():
+    # sin_add_cos at scale 1 is resolvable on a 24^2 grid (content at
+    # ~3 cycles/domain); sin_sin's 100 cycles are not
+    def solver(**kw):
+        prob = make_problem("poisson_2d-sin_add_cos", N_col=24, scale=1.0)
+        return Solver2D(prob, "Matern52_Cos_1d", dict(CFG, Q=6, **kw),
+                        POLICY)
+
+    n = 300
+    prof = solver().train(n, verbose=False, mode="chunked")
+    adam = solver(u_mode="adam").train(n, verbose=False, mode="chunked")
+    assert prof.log["err_list"][-1] < 0.5
+    assert prof.log["err_list"][-1] < 0.2 * adam.log["err_list"][-1]
+
+
+def test_profiled_rejects_nonlinear_residual():
+    prob = make_problem("allencahn_2d-mix-sincos", N_col=12, scale=1.0)
+    with pytest.raises(ValueError, match="linear"):
+        Solver2D(prob, "Matern52_Cos_1d", CFG, POLICY)
+
+
+def test_profiled_rejects_f32_policy():
+    prob = make_problem("poisson_2d-sin_sin", N_col=12, scale=1.0)
+    with pytest.raises(ValueError, match="f64-quality"):
+        Solver2D(prob, "Matern52_Cos_1d", CFG,
+                 Policy(dtype=jnp.float32))
+
+
+def test_run_experiment_profiled_2d_product_surface(tmp_path):
+    from gphm_tpu.experiment import run_experiment
+    from gphm_tpu.utils.config import load_config
+
+    res = run_experiment(
+        load_config("poisson_2d-sin_sin", N_col=20, nepoch=60, Q=4,
+                    dtype="float64", u_mode="profiled"),
+        out_base=str(tmp_path), verbose=False, figures=False)
+    assert np.isfinite(res.err_mean)
