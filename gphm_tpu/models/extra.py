@@ -70,10 +70,21 @@ class Solver1DExtra(Solver1D):
         def loss_extra(params_extra):
             # "sum over trick" (num_u_trick == 1 in every shipped config,
             # reference: code/model_GP_solver_1d_extra.py:114)
-            u_extra = params_extra["u"].sum(axis=1).reshape(-1, 1)
+            u_lat = params_extra["u"].sum(axis=1).reshape(-1, 1)
             kp = params_extra["kernel_paras"]
-            F = self._factor_extra(kp)
-            alpha = F.solve(u_extra)
+            if self.whitened:
+                # profiled mode: the latent is whitened (u = K ut; see
+                # Solver1D.gaps and ops/profile1d.py) — lifts are solve-free
+                # and the factor serves only the log-determinant
+                K = self.axis.gram(self.kernel_extra, kp,
+                                   jitter=self.jitter, wide=self.wide_train)
+                F = self._loss_factor(K)
+                alpha = u_lat.astype(K.dtype)
+                u_extra = K @ alpha
+            else:
+                F = self._factor_extra(kp)
+                alpha = F.solve(u_lat)
+                u_extra = u_lat
             u_xx_extra = self._d2_extra(kp) @ alpha
 
             boundary_gap = jnp.sum(
@@ -95,21 +106,43 @@ class Solver1DExtra(Solver1D):
                 - 0.5 * jnp.exp(params_extra["log_tau"]) * boundary_gap
             eq_ll = 0.5 * self.N_col * params_extra["log_v"] \
                 - 0.5 * jnp.exp(params_extra["log_v"]) * eq_gap
-            return -(log_prior + log_boundary_ll * self.llk_weight + eq_ll)
+            if getattr(self, "profile_objective", "map") != "marginal":
+                return -(log_prior + log_boundary_ll * self.llk_weight
+                         + eq_ll)
+            # marginal objective on the extra GP (see Solver1D._loss):
+            # Occam term on the extra kernel, boundary temper inside the
+            # precision with its true normalizer
+            from gphm_tpu.ops.profile1d import occam_logdet
+            wt = self.llk_weight * jnp.exp(params_extra["log_tau"])
+            v = jnp.exp(params_extra["log_v"])
+            Kd = self._d2_extra(kp)
+            if self.eq_type == "poisson_1d":
+                B = Kd
+            else:
+                u_tot = u_base + u_extra
+                B = Kd + (3.0 * u_tot ** 2 - 1.0) * K
+            lb_marg = 0.5 * self.N_b * jnp.log(wt) - 0.5 * wt * boundary_gap
+            return -(log_prior + lb_marg + eq_ll) - F.logdet() \
+                + occam_logdet(K, B, self._bc_mask, wt, v, self.jitter)
 
         return loss_extra
 
     def make_predict_extra(self, preds_base):
         """preds(base) + Kmn_extra K_extra^-1 u_extra
-        (reference: code/model_GP_solver_1d_extra.py:153-182)."""
+        (reference: code/model_GP_solver_1d_extra.py:153-182). Whitened
+        (profiled) latents predict as Kmn @ ut — solve-free."""
 
         def predict_extra(params_extra):
-            u_extra = params_extra["u"].sum(axis=1).reshape(-1, 1)
+            u_lat = params_extra["u"].sum(axis=1).reshape(-1, 1)
             kp = params_extra["kernel_paras"]
-            F = self._factor_extra(kp, solve_dtype=self.eval_solve_dtype)
-            alpha = F.solve(u_extra.astype(F.L.dtype))
             Kmn = self.cross.eval(self.kernel_extra, kp,
                                   wide=self.eval_solve_dtype is not None)
+            if self.whitened:
+                alpha = u_lat.astype(Kmn.dtype)
+            else:
+                F = self._factor_extra(kp,
+                                       solve_dtype=self.eval_solve_dtype)
+                alpha = F.solve(u_lat.astype(F.L.dtype))
             return preds_base + (Kmn.astype(alpha.dtype) @ alpha).reshape(-1)
 
         return predict_extra
@@ -139,25 +172,36 @@ class Solver1DExtra(Solver1D):
         the resume entry point: with ``params_extra``/``opt_state_extra``
         from a rolling checkpoint it reconstructs mid-phase-2 training."""
         solver = self
-        F = solver._factor(base_params["kernel_paras"])
-        alpha = F.solve(base_params["u"])
+        if solver.whitened:
+            # profiled base: the stored latent is already whitened
+            K_base = solver.axis.gram(
+                solver.kernel, base_params["kernel_paras"],
+                jitter=solver.jitter, wide=solver.wide_train)
+            alpha = base_params["u"].astype(K_base.dtype)
+            u_base = (K_base @ alpha).astype(base_params["u"].dtype)
+        else:
+            F = solver._factor(base_params["kernel_paras"])
+            alpha = F.solve(base_params["u"])
+            u_base = base_params["u"]
         u_xx_base = solver._u_xx(base_params["kernel_paras"], alpha)
-        u_base = base_params["u"]
         preds_base = solver._predict(base_params)
 
         loss_extra = solver.make_loss_extra(u_base, u_xx_base)
         predict_extra = solver.make_predict_extra(preds_base)
 
         prepare_extra = None
-        if solver.u_mode == "profiled" and solver.eq_type == "poisson_1d":
-            # The phase-2 objective is the same quadratic-in-latent form
-            # with shifted data: boundary target b - u_base, source
-            # f - u_xx_base (reference loss:
-            # code/model_GP_solver_1d_extra.py:106-141). Same profiled
-            # update as Solver1D._u_star, on the extra kernel.
-            b_shift = (solver._bc_b
-                       - solver._bc_mask.reshape(-1, 1)
-                       * u_base.astype(solver._bc_b.dtype))
+        if solver.u_mode == "profiled":
+            # The phase-2 objective is the phase-1 form with shifted data:
+            # boundary target b - u_base, source f - u_xx_base, and (for
+            # Allen-Cahn) the cubic evaluated at u_base + u_extra
+            # (reference loss: code/model_GP_solver_1d_extra.py:106-141).
+            # Same whitened conditional optimum as Solver1D._u_star, on the
+            # extra kernel (ops/profile1d.py).
+            from gphm_tpu.ops.profile1d import gauss_newton_ut_star, \
+                linear_ut_star
+            mb_shift = (solver._bc_b
+                        - solver._bc_mask.reshape(-1, 1)
+                        * u_base.astype(solver._bc_b.dtype))
             f_shift = solver.src_loss - u_xx_base.astype(
                 solver.src_loss.dtype)
 
@@ -170,19 +214,20 @@ class Solver1DExtra(Solver1D):
                                      wide=solver.wide_train)
                 Kd = solver._d2_extra(kp)
                 wt = solver.llk_weight * tau
-                S = K + wt * ((K * solver._bc_mask[None, :]) @ K) \
-                    + v * (Kd @ Kd)
-                ridge = jnp.trace(S) / solver.N_col
-                S = S + (1e-10 * ridge) * jnp.eye(solver.N_col,
-                                                  dtype=S.dtype)
-                rhs = wt * (K @ b_shift) + v * (Kd @ f_shift)
-                # wide-tier factorization, as in Solver1D._u_star
-                from gphm_tpu.ops.chol import robust_cholesky
-                F = robust_cholesky(S, base_jitter=solver.jitter,
-                                    max_tries=0)
-                return (K @ F.solve(rhs)).astype(
-                    params_extra["u"].dtype).reshape(
-                        params_extra["u"].shape)
+                if solver.eq_type == "poisson_1d":
+                    ut = linear_ut_star(K, Kd, solver._bc_mask, mb_shift,
+                                        f_shift, wt, v, solver.jitter)
+                else:
+                    ut = gauss_newton_ut_star(
+                        K, Kd, solver._bc_mask, mb_shift, f_shift, wt, v,
+                        solver.jitter,
+                        params_extra["u"].astype(K.dtype).reshape(-1, 1),
+                        solver.profile_newton_iters,
+                        phi=lambda w: w ** 3 - w,
+                        dphi=lambda w: 3.0 * w ** 2 - 1.0,
+                        u_shift=u_base.astype(K.dtype))
+                return ut.astype(params_extra["u"].dtype).reshape(
+                    params_extra["u"].shape)
 
             clip = float(solver.config.get("profile_clip", 20.0))
 

@@ -87,26 +87,59 @@ class Solver1D:
         self.logdet_flag = float(bool(config.get("logdet", True)))
         self.eq_type = problem.eq_type
 
-        # Profiled-latent mode (u_mode "profiled"): for a linear residual
-        # the MAP objective is quadratic in u given the kernel
-        # hyperparameters, so instead of dragging 400+ latent values along
-        # with Adam (the reference trains u by gradient descent for 1e5-1e6
-        # epochs, code/model_GP_solver_1d.py:151-158) each step writes the
-        # closed-form conditional optimum
-        #     u*(theta) = K S^-1 (w tau K E'b + v K_d f),
-        #     S = K + w tau K diag(m) K + v K_d K_d   (SPD; pure matmuls)
+        # Profiled-latent mode (u_mode "profiled"): the MAP objective given
+        # the kernel hyperparameters is quadratic in u for a linear residual
+        # (Poisson) and Gauss-Newton-solvable for Allen-Cahn, so instead of
+        # dragging 400+ latent values along with Adam (the reference trains
+        # u by gradient descent for 1e5-1e6 epochs,
+        # code/model_GP_solver_1d.py:151-158) each step writes the
+        # conditional optimum in whitened coordinates (ops/profile1d.py)
         # and descends only on (kernel_paras, log_tau, log_v) with the
-        # envelope-theorem gradient (grad_u L(u*) = 0, so stop_gradient(u*)
-        # plus the standard loss gradient IS the profiled gradient).
-        # Measured: reaches the reference's 1e5-epoch error floor in ~1e3
-        # steps on poisson_1d configs (see PARITY round 2).
+        # envelope-theorem gradient (grad_ut L(ut*) = 0, so
+        # stop_gradient(ut*) plus the standard loss gradient IS the
+        # profiled gradient). Measured: reaches the reference's 1e5-epoch
+        # error floor in ~1e3 steps on poisson_1d configs (PARITY round 2).
         self.u_mode = str(config.get("u_mode", "adam"))
+        # Profiled mode stores the WHITENED latent ut (u = K ut) in the
+        # params' "u" leaf: stationarity of the conditional optimum is
+        # achieved in ut coordinates, so the envelope gradient is exact
+        # there, and both the loss lifts and prediction become solve-free
+        # (ops/profile1d.py).
+        self.whitened = self.u_mode == "profiled"
         freeze = config.get("freeze")
         if self.u_mode == "profiled":
-            if self.eq_type != "poisson_1d":
+            if self.eq_type not in ("poisson_1d", "allencahn_1d"):
                 raise ValueError(
-                    f"u_mode='profiled' needs a residual linear in u; "
-                    f"{self.eq_type!r} is not (use u_mode='adam')")
+                    f"u_mode='profiled' supports linear residuals and "
+                    f"Allen-Cahn (Gauss-Newton); {self.eq_type!r} is "
+                    f"neither (use u_mode='adam')")
+            # Allen-Cahn: the cubic makes the conditional problem
+            # nonlinear; u* comes from a few warm-started Gauss-Newton
+            # solves of the same SPD form (see _u_star). GN fixed points
+            # satisfy grad_u J = 0 exactly (the normal equations ARE the
+            # stationarity conditions at convergence), so the envelope
+            # gradient stays exact.
+            self.profile_newton_iters = int(
+                config.get("profile_newton_iters", 3))
+            # Objective: "marginal" adds the Gaussian-integral Occam term
+            # (0.5 logdet S - logdet K, ops/profile1d.occam_logdet), making
+            # the profiled loss the exact negative log marginal likelihood
+            # for linear residuals (Laplace for Allen-Cahn) — proper in
+            # every hyperparameter.  "map" keeps the reference's joint-MAP
+            # form, which is improper once the latent is profiled
+            # (measured: mixture weights chase w -> 4e3 / ls -> 5e-3 with
+            # MAP -> -inf while rel-L2 sticks at 1.6).
+            self.profile_objective = str(
+                config.get("profile_objective", "marginal"))
+            if self.profile_objective not in ("map", "marginal"):
+                raise ValueError(
+                    f"unknown profile_objective "
+                    f"{self.profile_objective!r} (use 'marginal' or 'map')")
+            if self.profile_objective == "marginal" \
+                    and not config.get("logdet", True):
+                raise ValueError(
+                    "profile_objective='marginal' needs the log-determinant "
+                    "terms (set logdet: true or profile_objective: 'map')")
             # Profiled training factors (S and the loss's K) run at the
             # wide tier end to end: the envelope gradient is taken AT the
             # sharp conditional optimum, where the refined tier's f32-factor
@@ -205,28 +238,31 @@ class Solver1D:
         return policy_cholesky(K, self.policy)
 
     def _u_star(self, params):
-        """Closed-form conditional optimum of the latent for a linear
-        residual (u_mode 'profiled'): solve S u~ = w tau K E'b + v K_d f,
-        u* = K u~, where S = K + w tau K diag(m) K + v K_d K_d. S is SPD
-        and built from matmuls only (no explicit K^-1), so it rides the MXU
-        and inherits the policy's factorization tier."""
+        """Whitened conditional optimum of the latent (u_mode 'profiled').
+
+        Returns ut* with u* = K ut* — the params' "u" leaf STORES ut in
+        profiled mode (see ops/profile1d.py: stationarity is achieved in ut
+        coordinates, so taking the envelope there is numerically exact,
+        while mapping back through K^-1 amplifies the solve floor by
+        cond(K)).  Poisson solves the SPD normal equations exactly;
+        Allen-Cahn runs warm-started damped Gauss-Newton."""
+        from gphm_tpu.ops.profile1d import gauss_newton_ut_star, \
+            linear_ut_star
         tau = jnp.exp(params["log_tau"])
         v = jnp.exp(params["log_v"])
         K, Kd = self._K_and_Kd(params["kernel_paras"])
         wt = self.llk_weight * tau
-        S = K + wt * ((K * self._bc_mask[None, :]) @ K) + v * (Kd @ Kd)
-        # relative ridge: S's scale is data-dependent (v ||f||^2 can reach
-        # 1e10), so the absolute kernel jitter alone is meaningless here
-        ridge = jnp.trace(S) / self.N_col
-        S = S + (1e-10 * ridge) * jnp.eye(self.N_col, dtype=S.dtype)
-        rhs = wt * (K @ self._bc_b) + v * (Kd @ self.src_loss)
-        # cond(S) ~ cond(K)^2: the factorization must run at S's own (wide)
-        # precision — robust_cholesky routes f64 through the blocked HLO
-        # tier on TPU (no custom calls; the f32-PCG refined path stalls at
-        # ~0.4 relative u* error at this conditioning, measured)
-        from gphm_tpu.ops.chol import robust_cholesky
-        F = robust_cholesky(S, base_jitter=self.jitter, max_tries=0)
-        return (K @ F.solve(rhs)).astype(params["u"].dtype)
+        if self.eq_type == "poisson_1d":
+            ut = linear_ut_star(K, Kd, self._bc_mask, self._bc_b,
+                                self.src_loss, wt, v, self.jitter)
+        else:
+            ut = gauss_newton_ut_star(
+                K, Kd, self._bc_mask, self._bc_b, self.src_loss, wt, v,
+                self.jitter, params["u"].astype(K.dtype).reshape(-1, 1),
+                self.profile_newton_iters,
+                phi=lambda w: w ** 3 - w,
+                dphi=lambda w: 3.0 * w ** 2 - 1.0)
+        return ut.astype(params["u"].dtype).reshape(params["u"].shape)
 
     def _u_xx(self, kernel_paras, alpha):
         K_dxx = self.axis.gram(self.kernel, kernel_paras, deriv=2,
@@ -251,39 +287,76 @@ class Solver1D:
         return policy_cholesky(K, self.policy)
 
     def gaps(self, params):
-        u = params["u"]
         K, Kd = self._K_and_Kd(params["kernel_paras"])
-        F = self._loss_factor(K)
-        alpha = F.solve(u)
+        if self.whitened:
+            # profiled mode stores the whitened latent ut (u = K ut): the
+            # lifts need no solve, and the prior quadratic u'K^-1 u becomes
+            # the well-conditioned ut'K ut (ops/profile1d.py rationale)
+            alpha = params["u"].astype(K.dtype)
+            u = K @ alpha
+            F = self._loss_factor(K)  # log-determinant only
+        else:
+            u = params["u"]
+            F = self._loss_factor(K)
+            alpha = F.solve(u)
         u_xx = Kd @ alpha
         boundary_gap = jnp.sum(
             (u[self.bc_idx].reshape(-1) - self.bc_vals) ** 2)
         eq_gap = jnp.sum(self.residual(u, u_xx) ** 2)
-        return F, alpha, boundary_gap, eq_gap
+        return F, alpha, u, boundary_gap, eq_gap
 
     def _loss(self, params):
-        u = params["u"]
-        F, alpha, boundary_gap, eq_gap = self.gaps(params)
+        F, alpha, u, boundary_gap, eq_gap = self.gaps(params)
         log_prior = -0.5 * F.logdet() * self.logdet_flag \
             - 0.5 * jnp.sum(u * alpha)
         log_boundary_ll = 0.5 * self.N_b * params["log_tau"] \
             - 0.5 * jnp.exp(params["log_tau"]) * boundary_gap
         eq_ll = 0.5 * self.N_col * params["log_v"] \
             - 0.5 * jnp.exp(params["log_v"]) * eq_gap
-        return -(log_prior + log_boundary_ll * self.llk_weight + eq_ll)
+        if getattr(self, "profile_objective", "map") != "marginal":
+            return -(log_prior + log_boundary_ll * self.llk_weight + eq_ll)
+        # Exact negative log marginal likelihood (Laplace at the
+        # Gauss-Newton optimum for Allen-Cahn): the latent is integrated
+        # out analytically, adding the Occam term 0.5 logdet S - logdet K
+        # (ops/profile1d.occam_logdet).  The boundary block keeps the
+        # reference's precision temper INSIDE the precision (wt = llk *
+        # tau) but uses its true Gaussian normalizer 0.5 N_b log wt —
+        # multiplying the normalizer by llk_weight as the reference's MAP
+        # does (code/model_GP_solver_1d.py:139-141) makes tau ascend 200x
+        # faster than the Occam term can saturate it (measured: log_tau
+        # rides to the clip and the S conditioning cliff flips a converged
+        # run from rel-L2 0.13 to 1.6).  With the true normalizer every
+        # hyperparameter direction is proper: as wt or v -> inf the
+        # marginal variances saturate at the GP's own.
+        from gphm_tpu.ops.profile1d import occam_logdet
+        K, Kd = self._K_and_Kd(params["kernel_paras"])
+        wt = self.llk_weight * jnp.exp(params["log_tau"])
+        v = jnp.exp(params["log_v"])
+        B = Kd if self.eq_type == "poisson_1d" \
+            else Kd + (3.0 * u ** 2 - 1.0) * K
+        lb_marginal = 0.5 * self.N_b * jnp.log(wt) - 0.5 * wt * boundary_gap
+        return -(log_prior + lb_marginal + eq_ll) - F.logdet() \
+            + occam_logdet(K, B, self._bc_mask, wt, v, self.jitter)
 
     def _predict(self, params, cross=None):
         """Posterior mean at test points: Kmn K^-1 u
         (reference: code/model_GP_solver_1d.py:160-180). Both the Gram and
         the cross-covariance are built at the wide (f64) tier and the solve
         runs there too (see __init__): with f32-trained kernels an f32
-        posterior solve can misreport a correctly trained model."""
-        F = self._factor(params["kernel_paras"],
-                         solve_dtype=self.eval_solve_dtype)
-        alpha = F.solve(params["u"].astype(F.L.dtype))
+        posterior solve can misreport a correctly trained model.
+
+        Profiled mode stores the whitened latent ut = K^-1 u, so the
+        posterior mean is Kmn @ ut exactly — no factorization, no solve,
+        and no cond(K) amplification at eval time."""
         cr = self.cross if cross is None else cross
-        Kmn = cr.eval(self.kernel, params["kernel_paras"],
-                      wide=self.eval_solve_dtype is not None)
+        wide = self.eval_solve_dtype is not None
+        Kmn = cr.eval(self.kernel, params["kernel_paras"], wide=wide)
+        if self.whitened:
+            alpha = params["u"].astype(Kmn.dtype)
+        else:
+            F = self._factor(params["kernel_paras"],
+                             solve_dtype=self.eval_solve_dtype)
+            alpha = F.solve(params["u"].astype(F.L.dtype))
         return (Kmn.astype(alpha.dtype) @ alpha).reshape(-1)
 
     def _eval_err(self, params):
@@ -294,7 +367,7 @@ class Solver1D:
     def _criterion(self, params):
         """Early-stop criterion boundary_gap/N_b + eq_gap/N_col
         (reference: code/model_GP_solver_1d.py:182-191)."""
-        _, _, boundary_gap, eq_gap = self.gaps(params)
+        _, _, _, boundary_gap, eq_gap = self.gaps(params)
         return boundary_gap / self.N_b + eq_gap / self.N_col
 
     # ------------------------------------------------------------------
@@ -306,11 +379,10 @@ class Solver1D:
         matching every shipped reference config)."""
         from gphm_tpu.problems.init_u import get_init_u
         d = self.policy.dtype
-        # profiled mode: the latent carries the closed-form optimum, whose
-        # precision the loss consumes through K^-1 u at cond(K) ~ 1e7 — an
-        # f32 round-trip there costs O(1) in the derivative lift (same
-        # failure as f32 prediction solves, PARITY numerics notes), so u
-        # stays at the wide tier
+        # profiled mode: the "u" leaf carries the whitened optimum ut; the
+        # loss and predictor consume it through K @ ut, so an f32 round-trip
+        # would inject O(eps_f32 * ||K|| ||ut||) into the lifts — ut stays
+        # at the wide tier
         ud = jnp.float64 if (self.u_mode == "profiled"
                              and self.wide_train) else d
         u0 = get_init_u(self.config.get("init_u", "zeros"))(

@@ -110,12 +110,39 @@ class Solver2D:
         # warm-started eigenbasis-preconditioned CG on the matmul-only
         # normal operator S(V), U = K1 V K2.
         self.u_mode = str(config.get("u_mode", "adam"))
+        # Profiled mode stores the WHITENED latent V = K1^-1 U K2^-1 in the
+        # params' "U" leaf (see Solver1D and ops/profile1d.py: the envelope
+        # gradient is exact in the coordinates where the conditional solve
+        # achieves stationarity, and all lifts/predictions become solve-free)
+        self.whitened = self.u_mode == "profiled"
         freeze = config.get("freeze")
         if self.u_mode == "profiled":
-            if self.eq_type not in ("poisson_2d", "advection"):
+            if self.eq_type not in ("poisson_2d", "advection",
+                                    "allencahn_2d"):
                 raise ValueError(
-                    f"u_mode='profiled' needs a residual linear in U; "
-                    f"{self.eq_type!r} is not (use u_mode='adam')")
+                    f"u_mode='profiled' supports linear residuals and "
+                    f"Allen-Cahn (Gauss-Newton); {self.eq_type!r} is "
+                    f"neither (use u_mode='adam')")
+            # Allen-Cahn: warm-started Gauss-Newton — each iteration is
+            # one linear profiled solve with the diagonal weight
+            # D = 3U^2 - 1 and affine target f + 2U^3 (see Solver1D)
+            self.profile_newton_iters = int(
+                config.get("profile_newton_iters", 3))
+            # Objective: "marginal" (default) adds the separable Occam
+            # surrogate (ops/kron_profile.occam_logdet_2d) — see Solver1D
+            # for the properness rationale; "map" keeps the reference's
+            # joint-MAP form
+            self.profile_objective = str(
+                config.get("profile_objective", "marginal"))
+            if self.profile_objective not in ("map", "marginal"):
+                raise ValueError(
+                    f"unknown profile_objective "
+                    f"{self.profile_objective!r} (use 'marginal' or 'map')")
+            if self.profile_objective == "marginal" \
+                    and not config.get("logdet", True):
+                raise ValueError(
+                    "profile_objective='marginal' needs the log-determinant "
+                    "terms (set logdet: true or profile_objective: 'map')")
             # Same tier rule as 1D: the envelope gradient is taken AT the
             # sharp conditional optimum, where refined-tier logdet-gradient
             # error overwhelms the signal — the loss factors run wide-exact
@@ -268,10 +295,13 @@ class Solver2D:
         return self._psd_solve(K, B)
 
     def _u_star(self, params):
-        """Closed-form conditional optimum of the grid latent for a linear
-        residual (u_mode 'profiled'): warm-started preconditioned CG on the
-        matmul-only normal operator (ops/kron_profile.py)."""
-        from gphm_tpu.ops.chol import robust_cholesky
+        """Whitened conditional optimum of the grid latent (u_mode
+        'profiled'): returns V* with U* = K1 V* K2 — the params' "U" leaf
+        STORES V in profiled mode (same envelope-exactness rationale as the
+        1D whitened latent, ops/profile1d.py).  Warm-started
+        eigenbasis-preconditioned CG on the matmul-only normal operator
+        (ops/kron_profile.py); Allen-Cahn iterates it under damped
+        Gauss-Newton."""
         from gphm_tpu.ops.kron_profile import profiled_u_star_2d
         tau = jnp.exp(params["log_tau"])
         v = jnp.exp(params["log_v"])
@@ -281,24 +311,83 @@ class Solver2D:
         K2, Kd2 = self._K_and_Kd(self.y_col, self.axis2, kp2)
         a1 = jnp.asarray(self.beta if self.eq_type == "advection" else 1.0,
                          K1.dtype)
-        # warm start: the previous step's optimum in V-coordinates
-        # (V = K1^-1 U K2^-1; the factors are the same wide-exact subgraphs
-        # the loss builds, so XLA CSE shares them)
-        F1 = robust_cholesky(K1, max_tries=0)
-        F2 = robust_cholesky(K2, max_tries=0)
-        V0 = F2.solve(F1.solve(params["U"].astype(K1.dtype)).T).T
-        U, _ = profiled_u_star_2d(
-            K1, Kd1, K2, Kd2, self._bc_mask, self._bc_grid,
-            self.src_loss.astype(K1.dtype), wt, v, a1, V0,
-            self.profile_cg_iters)
-        return U.astype(params["U"].dtype)
+        # warm start: the previous step's optimum IS the stored latent
+        V = params["U"].astype(K1.dtype)
+        src = self.src_loss.astype(K1.dtype)
+        if self.eq_type != "allencahn_2d":
+            _, V = profiled_u_star_2d(
+                K1, Kd1, K2, Kd2, self._bc_mask, self._bc_grid,
+                src, wt, v, a1, V, self.profile_cg_iters)
+            return V.astype(params["U"].dtype)
+        # Allen-Cahn Gauss-Newton: iterate the linear profiled solve with
+        # the current diagonal weight and affine target, warm-started in V.
+        # As in 1D, raw GN oscillates when the conditional optimum is large,
+        # so each iteration line-searches the GN direction on the exact
+        # conditional objective over a fixed step grid (eta=0 included:
+        # monotone by construction). The residual's linear part and the
+        # prior quadratic interpolate in eta, so the search is elementwise
+        # on top of the lift matmuls.
+        Kd2t = Kd2.T
+        etas = jnp.asarray([1.0, 0.5, 0.25, 0.12, 0.06, 0.03, 0.0],
+                           K1.dtype)
+
+        def lin_lift(V):
+            return a1 * ((Kd1 @ V) @ K2) + (K1 @ V) @ Kd2t
+
+        U = (K1 @ V) @ K2
+        lin = lin_lift(V)
+        for _ in range(self.profile_newton_iters):
+            Un, Vn = profiled_u_star_2d(
+                K1, Kd1, K2, Kd2, self._bc_mask, self._bc_grid,
+                src + 2.0 * U ** 3, wt, v, a1, V, self.profile_cg_iters,
+                dgrid=3.0 * U ** 2 - 1.0)
+            dU, dV = Un - U, Vn - V
+            dlin = lin_lift(dV)
+            # prior quadratic 0.5 <V_eta, U_eta> expands exactly in eta
+            # (V ~ K1^-1 U K2^-1 from the warm-started CG)
+            q0, q1a = jnp.sum(V * U), jnp.sum(dV * U)
+            q1b, q2 = jnp.sum(V * dU), jnp.sum(dV * dU)
+
+            def phi(eta):
+                Ue = U + eta * dU
+                r = lin + eta * dlin + Ue ** 3 - Ue - src
+                quad = q0 + eta * (q1a + q1b) + eta ** 2 * q2
+                # boundary: sum mask U^2 - 2 U (mask b) + const — the
+                # mask carries the corner double weight, so b enters
+                # masked (same form as the kron_profile rhs)
+                return (0.5 * quad + 0.5 * v * jnp.sum(r ** 2)
+                        + 0.5 * wt * jnp.sum(
+                            (Ue - 2.0 * self._bc_grid) * self._bc_mask * Ue))
+
+            eta = etas[jnp.argmin(jax.vmap(phi)(etas))]
+            U, V, lin = U + eta * dU, V + eta * dV, lin + eta * dlin
+        return V.astype(params["U"].dtype)
 
     def lifts(self, params):
-        """Per-dimension solves and derivative lifts of U."""
-        U = params["U"]
+        """Per-dimension solves and derivative lifts of U.
+
+        Whitened (profiled) mode: the "U" leaf stores V = K1^-1 U K2^-1, so
+        every lift is a solve-free matmul — U = K1 V K2, U_dx = Kd1 V K2,
+        U_dy = K1 V Kd2', and the prior quadratic's factors are
+        K1^-1 U = V K2 and K2^-1 U' = (K1 V)' exactly.  Factors are built
+        only for the log-determinants."""
         kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
         K1, Kd1 = self._K_and_Kd(self.x_col, self.axis1, kp1)
         K2, Kd2 = self._K_and_Kd(self.y_col, self.axis2, kp2)
+        if self.whitened:
+            from gphm_tpu.ops.chol import robust_cholesky
+            V = params["U"].astype(K1.dtype)
+            P1 = K1 @ V
+            VK2 = V @ K2
+            U = P1 @ K2
+            U_dx = Kd1 @ VK2
+            U_dy = P1 @ Kd2.T
+            ld1 = ld2 = None
+            if self.logdet_flag:
+                ld1 = robust_cholesky(K1, max_tries=0).logdet()
+                ld2 = robust_cholesky(K2, max_tries=0).logdet()
+            return ld1, ld2, VK2, P1.T, U_dx, U_dy, U
+        U = params["U"]
         if self.N1 == self.N2 and self.solve_mode == "cholesky" \
                 and self.config.get("batched_chol", False) \
                 and not getattr(self, "_wide_exact", False):
@@ -318,7 +407,7 @@ class Solver2D:
             K2inv_Ut, ld2 = self._loss_solve(K2, U.T)
         U_dx = Kd1 @ K1inv_U            # U_xx (or U_x for advection)
         U_dy = (Kd2 @ K2inv_Ut).T       # U_yy (or U_y)
-        return ld1, ld2, K1inv_U, K2inv_Ut, U_dx, U_dy
+        return ld1, ld2, K1inv_U, K2inv_Ut, U_dx, U_dy, U
 
     def residual(self, U, U_dx, U_dy):
         if self.eq_type == "poisson_2d":
@@ -335,16 +424,17 @@ class Solver2D:
         return jnp.hstack((U[0, :], U[-1, :], U[:, 0], U[:, -1]))
 
     def gaps(self, params):
-        U = params["U"]
-        ld1, ld2, K1inv_U, K2inv_Ut, U_dx, U_dy = self.lifts(params)
+        ld1, ld2, K1inv_U, K2inv_Ut, U_dx, U_dy, U = self.lifts(params)
         boundary_gap = jnp.sum(
             (self.boundary_slice(U) - self.bc_vals) ** 2)
         eq_gap = jnp.sum(self.residual(U, U_dx, U_dy) ** 2)
         return ld1, ld2, K1inv_U, K2inv_Ut, boundary_gap, eq_gap
 
     def _loss(self, params):
-        U = params["U"]
-        ld1, ld2, K1inv_U, K2inv_Ut, boundary_gap, eq_gap = self.gaps(params)
+        ld1, ld2, K1inv_U, K2inv_Ut, U_dx, U_dy, U = self.lifts(params)
+        boundary_gap = jnp.sum(
+            (self.boundary_slice(U) - self.bc_vals) ** 2)
+        eq_gap = jnp.sum(self.residual(U, U_dx, U_dy) ** 2)
         # Kronecker prior (reference: code/model_GP_solver_2d.py:157-162);
         # ld is None only for unpreconditioned CG (logdet=False enforced)
         if ld1 is None:
@@ -357,16 +447,43 @@ class Solver2D:
             - 0.5 * jnp.exp(params["log_tau"]) * boundary_gap
         eq_ll = 0.5 * self.Nc * params["log_v"] \
             - 0.5 * jnp.exp(params["log_v"]) * eq_gap
-        return -(log_prior + log_boundary_ll * self.llk_weight + eq_ll)
+        if getattr(self, "profile_objective", "map") != "marginal":
+            return -(log_prior + log_boundary_ll * self.llk_weight + eq_ll)
+        # Marginal objective (see Solver1D._loss and
+        # ops/kron_profile.occam_logdet_2d): Occam surrogate
+        # 0.5 logdet S - logdet(K2 (x) K1), boundary temper inside the
+        # precision with its true normalizer
+        from gphm_tpu.ops.kron_profile import occam_logdet_2d
+        kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
+        K1, Kd1 = self._K_and_Kd(self.x_col, self.axis1, kp1)
+        K2, Kd2 = self._K_and_Kd(self.y_col, self.axis2, kp2)
+        wt = self.llk_weight * jnp.exp(params["log_tau"])
+        v = jnp.exp(params["log_v"])
+        a1 = jnp.asarray(self.beta if self.eq_type == "advection" else 1.0,
+                         K1.dtype)
+        dbar = (jnp.mean(3.0 * U ** 2 - 1.0)
+                if self.eq_type == "allencahn_2d" else 0.0)
+        lb_marg = 0.5 * self.Nb * jnp.log(wt) - 0.5 * wt * boundary_gap
+        return -(log_prior + lb_marg + eq_ll) \
+            - (self.N2 * ld1 + self.N1 * ld2) \
+            + occam_logdet_2d(K1, Kd1, K2, Kd2, a1, wt, v, dbar=dbar)
 
     def _predict(self, params):
         """Per-dimension cross-kernel posterior mean
         (reference: code/model_GP_solver_2d.py:185-220). Grams, cross-Grams,
         and solves all run at the wide (f64) tier when available — f32
-        posterior solves can misreport a correctly trained model."""
+        posterior solves can misreport a correctly trained model.
+
+        Whitened (profiled) mode: the "U" leaf stores V = K1^-1 U K2^-1, so
+        the posterior mean is Kmn1 V Kmn2' exactly — no solves at all."""
         sd = self.eval_solve_dtype
         wide = sd is not None
         kp1, kp2 = params["kernel_paras_1"], params["kernel_paras_2"]
+        if self.whitened:
+            Kmn1 = self.cross1.eval(self.kernel, kp1, wide=wide)
+            Kmn2 = self.cross2.eval(self.kernel, kp2, wide=wide)
+            V = params["U"].astype(Kmn1.dtype)
+            return (Kmn1 @ V) @ Kmn2.T
         K1 = self.axis1.gram(self.kernel, kp1, jitter=self.jitter, wide=wide)
         if sd is not None:
             K1 = K1.astype(sd)
@@ -409,8 +526,8 @@ class Solver2D:
             freqs2 = spectral_freqs(
                 x2 if x2 is not None else np.asarray(self.y_col), src.T, Q,
                 fs)
-        # profiled mode: U carries the closed-form optimum, consumed by the
-        # loss through K^-1 U at cond(K) ~ 1e7 — it stays at the wide tier
+        # profiled mode: the "U" leaf carries the whitened optimum V,
+        # consumed by the loss through K1 V K2 — it stays at the wide tier
         # (same rationale as Solver1D.init_params)
         ud = jnp.float64 if (self.u_mode == "profiled"
                              and self.wide_train) else d

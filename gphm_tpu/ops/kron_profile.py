@@ -80,8 +80,14 @@ class AxisSpec(NamedTuple):
 
 def axis_spec(K, Kd) -> AxisSpec:
     """Eigenbasis via f32 ``eigh`` (TPU-native QDWH; the basis need not be
-    exact) with exact wide-dtype Rayleigh diagonals."""
-    Q = jnp.linalg.eigh(K.astype(jnp.float32))[1].astype(K.dtype)
+    exact) with exact wide-dtype Rayleigh diagonals.  The basis is frozen
+    with ``stop_gradient`` — the CG path runs under an outer stop_gradient
+    anyway, and the marginal-objective surrogate (``occam_logdet_2d``)
+    differentiates only the Rayleigh diagonals, which are plain matmuls of
+    K/Kd against the frozen basis (eigh JVPs are unstable under eigenvalue
+    crossings and never needed here)."""
+    Q = jax.lax.stop_gradient(
+        jnp.linalg.eigh(K.astype(jnp.float32))[1].astype(K.dtype))
     KQ = K @ Q
     KdQ = Kd @ Q
     return AxisSpec(
@@ -93,15 +99,45 @@ def axis_spec(K, Kd) -> AxisSpec:
     )
 
 
-def precond_diag(a1: jax.Array, wt, v, s1: AxisSpec, s2: AxisSpec):
-    """The (N1, N2) eigenbasis diagonal of S's separable approximation."""
+def precond_diag(a1: jax.Array, wt, v, s1: AxisSpec, s2: AxisSpec,
+                 dbar=0.0):
+    """The (N1, N2) eigenbasis diagonal of S's separable approximation.
+
+    ``dbar`` is the mean of a Gauss-Newton diagonal weight (Allen-Cahn:
+    mean(3u^2 - 1)); the Jacobian diagonal becomes
+    (a1 d1 l2 + l1 d2 + dbar l1 l2) with the same Cauchy-Schwarz spread
+    terms (s - d^2), so P stays strictly positive for any basis."""
     l1, l2 = s1.lam[:, None], s2.lam[None, :]
     bnd = l1 ** 2 * l2 ** 2 * (s1.rho[:, None] + s2.rho[None, :])
-    res = (a1 ** 2 * s1.s[:, None] * l2 ** 2
-           + 2.0 * a1 * (s1.lam * s1.d)[:, None] * (s2.lam * s2.d)[None, :]
-           + l1 ** 2 * s2.s[None, :])
+    jd = (a1 * (s1.d[:, None] * l2) + l1 * s2.d[None, :]
+          + dbar * l1 * l2)
+    res = (jd ** 2
+           + a1 ** 2 * (s1.s - s1.d ** 2)[:, None] * l2 ** 2
+           + l1 ** 2 * (s2.s - s2.d ** 2)[None, :])
     P = l1 * l2 + wt * bnd + v * res
     return jnp.maximum(P, jnp.finfo(P.dtype).tiny)
+
+
+def occam_logdet_2d(K1, Kd1, K2, Kd2, a1, wt, v, dbar=0.0):
+    """Separable-eigenbasis surrogate of 0.5 logdet S for the 2D marginal
+    objective (see ops/profile1d.occam_logdet for the exact 1D analog and
+    the properness rationale).
+
+    S has no tractable exact log-determinant at the production grid (it is
+    the (N1 N2)^2 normal operator the profiled CG inverts matrix-free), but
+    its separable approximation is diagonal in the frozen per-axis
+    eigenbasis with the strictly positive diagonal ``precond_diag`` — the
+    same approximation that preconditions the CG.  Sum-of-logs of that
+    diagonal is exact when Kd commutes with K (uniform-grid stationary
+    kernels are close) and is differentiable through the Rayleigh diagonals
+    (the basis itself is frozen, see ``axis_spec``).  As wt or v -> inf the
+    surrogate grows with the correct leading-order rank terms, which is
+    what bounds the hyperparameter ascent.
+    """
+    s1 = axis_spec(K1, Kd1)
+    s2 = axis_spec(K2, Kd2)
+    Pd = precond_diag(a1, wt, v, s1, s2, dbar=dbar)
+    return 0.5 * jnp.sum(jnp.log(Pd))
 
 
 def pcg_grid(matvec: Callable, minv: Callable, B, X0, iters: int):
@@ -138,30 +174,41 @@ def pcg_grid(matvec: Callable, minv: Callable, B, X0, iters: int):
 
 
 def profiled_u_star_2d(K1, Kd1, K2, Kd2, mask, bgrid, src, wt, v,
-                       a1, V0, iters: int):
-    """Conditional optimum U*(theta) of the 2D MAP objective for a linear
-    residual  a1*U_dx + U_dy = src.
+                       a1, V0, iters: int, dgrid=None):
+    """Conditional optimum U*(theta) of the 2D MAP objective for a
+    residual with lift  J(U) = a1*U_dx + U_dy [+ D.U]  and target ``src``.
 
-    All operands at the wide (f64) tier; ``V0`` warm-starts the CG from the
-    previous step's optimum in V-coordinates (V = K1^-1 U K2^-1).  Returns
-    (U*, V*) — V* is the warm start for the next step.  Wrap the result in
-    ``stop_gradient`` (envelope theorem).
+    ``dgrid`` is a Gauss-Newton diagonal weight grid (Allen-Cahn:
+    D = 3 U_k^2 - 1, with ``src`` the affine target f + 2 U_k^3); None for
+    linear residuals.  All operands at the wide (f64) tier; ``V0``
+    warm-starts the CG from the previous optimum in V-coordinates
+    (V = K1^-1 U K2^-1).  Returns (U*, V*) — V* is the warm start for the
+    next step/GN iteration.  Wrap the result in ``stop_gradient``
+    (envelope theorem).
     """
     Kd2t = Kd2.T
+
+    def jadj(W):
+        out = a1 * (Kd1.T @ W @ K2) + K1 @ (W @ Kd2)
+        if dgrid is not None:
+            out = out + K1 @ (dgrid * W) @ K2
+        return out
 
     def sop(V):
         P1 = K1 @ V
         T = P1 @ K2
         W = a1 * ((Kd1 @ V) @ K2) + P1 @ Kd2t
+        if dgrid is not None:
+            W = W + dgrid * T
         out = T + wt * (K1 @ (mask * T) @ K2)
-        return out + v * (a1 * (Kd1.T @ W @ K2) + K1 @ (W @ Kd2))
+        return out + v * jadj(W)
 
-    rhs = wt * (K1 @ (mask * bgrid) @ K2) \
-        + v * (a1 * (Kd1.T @ src @ K2) + K1 @ (src @ Kd2))
+    rhs = wt * (K1 @ (mask * bgrid) @ K2) + v * jadj(src)
 
     s1 = axis_spec(K1, Kd1)
     s2 = axis_spec(K2, Kd2)
-    Pd = precond_diag(a1, wt, v, s1, s2)
+    dbar = jnp.mean(dgrid) if dgrid is not None else 0.0
+    Pd = precond_diag(a1, wt, v, s1, s2, dbar=dbar)
 
     def minv(R):
         return s1.Q @ ((s1.Q.T @ R @ s2.Q) / Pd) @ s2.Q.T

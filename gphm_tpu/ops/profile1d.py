@@ -1,0 +1,174 @@
+"""Whitened-coordinate conditional optima for 1D profiled-latent training.
+
+Profiled-latent mode (``u_mode='profiled'``) replaces the reference's
+1e5-1e6-epoch Adam descent on the latent u (reference:
+code/model_GP_solver_1d.py:151-158) with the conditional optimum of the MAP
+objective at each hyperparameter step.  This module computes that optimum in
+*whitened* coordinates ut, where u = K ut:
+
+  * Linear residual (Poisson): the objective is an SPD quadratic; one solve
+        S ut = wt K (m.b) + v Kd' f,
+        S = K + wt K diag(m) K + v Kd' Kd
+    gives the exact optimum.  S is built from matmuls only (no explicit
+    K^-1), so it rides the MXU and stays as well-conditioned as the problem
+    allows (cond(S) ~ cond(K)^2).
+
+  * Cubic residual (Allen-Cahn): damped Gauss-Newton on the same SPD form.
+    With residual r(ut) = Kd ut + phi(shift + K ut) - f, each iteration
+    solves the GN normal equations with Jacobian J = Kd + diag(phi') K and
+    line-searches the step on the exact conditional objective over a fixed
+    eta grid (eta = 0 included, so the sweep is monotone by construction —
+    undamped GN oscillates whenever the kernel cannot resolve the source
+    content and the optimum is large; measured max|u| bouncing 57..126 with
+    the objective swinging 4 orders of magnitude).  A GN fixed point
+    satisfies the exact stationarity grad_ut = 0: the normal equations ARE
+    the stationarity conditions once J ut - r collapses the linearization.
+
+Whitened coordinates are what make the envelope theorem *numerically* exact:
+the iteration achieves stationarity in ut (measured residual ~1e-7 relative),
+while mapping back to u = K ut and re-deriving through K^-1 amplifies the
+solve floor by cond(K) (measured 19.5% envelope-gradient bias on the
+Allen-Cahn log_v component when the loss consumed u instead of ut).  The
+solvers therefore keep ut as the latent: the loss's prior quadratic is
+ut' K ut, derivative lifts are Kd @ ut, and prediction is Kmn @ ut — no
+training- or eval-time K^-1 solve exists anywhere in profiled mode.
+
+The ``shift`` arguments serve the two-GP residual solver
+(models/extra.py, reference: code/model_GP_solver_1d_extra.py:106-141):
+phase 2 optimizes the same objective with boundary target b - u_base and
+residual shifted by the frozen base lift, which maps onto these functions
+with mb = m.(b - u_base), f = f - u_xx_base, u_shift = u_base.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gphm_tpu.ops.chol import robust_cholesky
+
+# Line-search grid for the damped Gauss-Newton step: eta = 0 makes every
+# iteration monotone; the geometric spacing covers the observed useful range
+# (full steps near convergence, ~0.03 in the oscillatory large-optimum regime)
+ETAS = (1.0, 0.5, 0.25, 0.12, 0.06, 0.03, 0.0)
+
+
+def _spd_solve(K, wt_Kb, v, B, rhs, jitter, refine: bool):
+    """Solve (K + wt K diag(m) K + v B'B) x = rhs at the operands' dtype.
+
+    A relative ridge stabilizes the factorization: S's scale is
+    data-dependent (v ||f||^2 can reach 1e10), so the absolute kernel jitter
+    alone is meaningless here.  cond(S) ~ cond(K)^2, so the factorization
+    must run at S's own (wide) precision — ``robust_cholesky`` routes f64
+    through the blocked HLO tier on TPU (no custom calls; the f32-PCG
+    refined path stalls at ~0.4 relative error at this conditioning,
+    measured).
+
+    ``refine`` adds one refinement sweep against the UNRIDGED S: the ridge's
+    O(delta) bias on a Gauss-Newton fixed point's stationarity becomes
+    O(delta^2) (measured: the Allen-Cahn fixed-point gradient drops from
+    2e-3 * |grad at 0| to the f64 roundoff floor).  Gauss-Newton only — on
+    the linear path's wildest-conditioned steps the unridged residual
+    amplifies instead of refining (measured: a 400-epoch Poisson profiled
+    run regresses 0.03 -> 1.6 rel-L2 with the sweep on).
+    """
+    S = K + wt_Kb + v * (B.T @ B)
+    n = K.shape[-1]
+    ridge = jnp.trace(S) / n
+    Sr = S + (1e-10 * ridge) * jnp.eye(n, dtype=S.dtype)
+    F = robust_cholesky(Sr, base_jitter=jitter, max_tries=0)
+    x = F.solve(rhs)
+    if not refine:
+        return x
+    return x + F.solve(rhs - S @ x)
+
+
+def linear_ut_star(K, Kd, bc_mask, mb, f, wt, v, jitter):
+    """Exact whitened conditional optimum for a linear residual Kd ut - f.
+
+    ``bc_mask`` is the 0/1 boundary indicator over collocation points, ``mb``
+    the masked boundary-target column (b embedded at boundary rows, zero
+    elsewhere; for the two-GP phase 2, m.(b - u_base)).
+    """
+    Kb = (K * bc_mask[None, :]) @ K
+    rhs = wt * (K @ mb) + v * (Kd.T @ f)
+    return _spd_solve(K, wt * Kb, v, Kd, rhs, jitter, refine=False)
+
+
+def occam_logdet(K, B, bc_mask, wt, v, jitter):
+    """0.5 logdet S - logdet K: the Gaussian-integral (Occam) correction
+    that turns the profiled conditional objective into the exact negative
+    log MARGINAL likelihood for a linear residual (Laplace value for
+    Gauss-Newton ``B``).
+
+    With the latent integrated out analytically,
+        -log p(data | theta) = Phi(ut*) + 0.5 logdet H_u + const,
+        H_u = K^-1 + wt M + v A'A = K^-1 S K^-1   (A = B K^-1),
+    so 0.5 logdet H_u = 0.5 logdet S - logdet K.  The joint-MAP objective
+    (the reference's, code/model_GP_solver_1d.py:123-149) omits this term
+    and is improper in the kernel hyperparameters once the latent is
+    profiled: mixture weights/lengthscales can chase degenerate prior
+    configurations with unboundedly good joint density (measured: w -> 4e3,
+    ls -> 5e-3, MAP -> -inf while rel-L2 sticks at 1.6).  The marginal is a
+    true density in the data, hence bounded and proper in every
+    hyperparameter — including (tau, v), whose marginal variances saturate
+    at the GP's own instead of collapsing.
+
+    Differentiable (no envelope needed — this term does not depend on ut):
+    one wide Cholesky of S, whose forward graph XLA shares (CSE) with the
+    stop-gradient solve in the ``ut_star`` functions.
+    """
+    S = K + wt * ((K * bc_mask[None, :]) @ K) + v * (B.T @ B)
+    n = K.shape[-1]
+    ridge = jnp.trace(S) / n
+    Sr = S + (1e-10 * ridge) * jnp.eye(n, dtype=S.dtype)
+    FS = robust_cholesky(Sr, base_jitter=jitter, max_tries=0)
+    return 0.5 * FS.logdet()
+
+
+def gauss_newton_ut_star(K, Kd, bc_mask, mb, f, wt, v, jitter, ut0,
+                         iters: int, phi, dphi, u_shift=None):
+    """Damped Gauss-Newton whitened optimum for residual
+    Kd ut + phi(u_shift + K ut) - f (Allen-Cahn: phi(w) = w^3 - w).
+
+    Warm-start ``ut0`` with the previous step's optimum — the conditional
+    optimum moves slowly with the hyperparameters, so a few line-searched
+    iterations per step track it.  ``u_shift`` is a frozen additive latent
+    (two-GP phase 2: the base GP's u); the boundary/residual shifts are
+    folded into ``mb``/``f`` by the caller.
+    """
+    Kb = (K * bc_mask[None, :]) @ K
+    rhs_b = wt * (K @ mb)
+    mask = bc_mask.reshape(-1, 1)
+    etas = jnp.asarray(ETAS, K.dtype)
+    shift = 0.0 if u_shift is None else u_shift
+
+    def data_terms(u, lin):
+        r = lin + phi(shift + u) - f
+        return (0.5 * wt * jnp.sum(mask * u ** 2 - 2.0 * u * mb)
+                + 0.5 * v * jnp.sum(r ** 2))
+
+    ut = ut0
+    u, lin = K @ ut, Kd @ ut
+    for _ in range(iters):
+        d = dphi(shift + u)
+        B = Kd + d * K  # J: rows scaled by the pointwise derivative
+        # affine GN target J ut_k - r(ut_k) = d.u - phi(shift+u) + f
+        t = d * u - phi(shift + u) + f
+        utn = _spd_solve(K, wt * Kb, v, B, rhs_b + v * (B.T @ t), jitter,
+                         refine=True)
+        dut = utn - ut
+        du, dlin = K @ dut, Kd @ dut
+        quad = jnp.sum(ut * u)
+
+        def obj(eta):
+            # 0.5 ut' K ut expands exactly in eta (K symmetric); the data
+            # terms interpolate through the precomputed u/lin directions, so
+            # the search is elementwise on top of two matmuls
+            q = quad + 2.0 * eta * jnp.sum(dut * u) \
+                + eta ** 2 * jnp.sum(dut * du)
+            return 0.5 * q + data_terms(u + eta * du, lin + eta * dlin)
+
+        eta = etas[jnp.argmin(jax.vmap(obj)(etas))]
+        ut, u, lin = ut + eta * dut, u + eta * du, lin + eta * dlin
+    return ut

@@ -91,6 +91,18 @@ class RunConfig:
                                   # no longer bind accuracy)
     profile_cg_iters: int = 60    # 2D profiled mode: fixed PCG iterations
                                   # for the U*(theta) normal solve
+    profile_newton_iters: int = 3  # profiled Allen-Cahn: damped Gauss-
+                                  # Newton iterations per step (warm-started
+                                  # from the previous optimum)
+    profile_objective: str = "marginal"  # "marginal": add the Gaussian-
+                                  # integral Occam term 0.5 logdet S -
+                                  # logdet K, making the profiled objective
+                                  # the exact negative log marginal
+                                  # likelihood (proper in every
+                                  # hyperparameter; ops/profile1d.py).
+                                  # "map": the reference's joint-MAP form,
+                                  # improper in the kernel hyperparameters
+                                  # once the latent is profiled
     multi_start: int = 1          # >1: warm up this many mixture-frequency
                                   # initializations concurrently (vmapped /
                                   # data-axis-sharded) and continue the
@@ -130,6 +142,8 @@ class RunConfig:
             "freq_init": self.freq_init, "u_mode": self.u_mode,
             "profile_clip": self.profile_clip,
             "profile_cg_iters": self.profile_cg_iters,
+            "profile_newton_iters": self.profile_newton_iters,
+            "profile_objective": self.profile_objective,
         }
 
 

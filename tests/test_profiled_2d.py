@@ -39,7 +39,8 @@ def moderate_params(solver):
 
 
 def quadratic_part(solver, params):
-    """The U-dependent part of the loss as a function of vec(U)."""
+    """The latent-dependent part of the loss as a function of the vec'd
+    "U" leaf (which stores the whitened V in profiled mode)."""
 
     def f(vecU):
         U = vecU.reshape(solver.N1, solver.N2)
@@ -53,7 +54,8 @@ def quadratic_part(solver, params):
     ("advection-sin", 5.0, 1.0),
 ])
 def test_u_star_solves_dense_normal_equations(equation, beta, scale):
-    """U* from the Kronecker PCG equals the dense N^2 x N^2 normal solve."""
+    """V* from the Kronecker PCG equals the dense N^2 x N^2 normal solve
+    of the loss's exact quadratic in the whitened latent."""
     prob = make_problem(equation, N_col=13, scale=scale, beta=beta)
     solver = Solver2D(prob, "Matern52_Cos_1d", CFG, POLICY)
     p = moderate_params(solver)
@@ -119,15 +121,102 @@ def test_profiled_converges_much_faster_than_adam_u():
                         POLICY)
 
     n = 300
+    prof = solver(lr=0.05).train(n, verbose=False, mode="chunked")
+    adam = solver(u_mode="adam").train(n, verbose=False, mode="chunked")
+    assert prof.min_err < 0.1
+    assert prof.min_err < 0.2 * adam.min_err
+
+
+def ac2d_solver(N=16, **kw):
+    # Q=8 / freq_scale=20 / llk=200 resolve the scale-0.25 mix-sincos
+    # content, so the conditional optimum is small (||U*|| ~ 10) and the
+    # damped Gauss-Newton converges in ~12 iterations. Under the module
+    # CFG (Q=4, fs=10) the content is unresolvable, ||U*|| ~ 350, and
+    # reaching stationarity needs ~40+ line-searched iterations — that
+    # regime is exercised by the monotonicity test below instead.
+    prob = make_problem("allencahn_2d-mix-sincos", N_col=N, scale=0.25)
+    cfg = dict(CFG, Q=8, llk_weight=200.0, freq_scale=20.0,
+               profile_newton_iters=12, profile_cg_iters=250, **kw)
+    return Solver2D(prob, "Matern52_Cos_1d", cfg, POLICY)
+
+
+def test_allencahn_2d_gauss_newton_u_star_is_stationary():
+    solver = ac2d_solver()
+    p = moderate_params(solver)
+    U = solver._u_star(p)
+    # the latent is whitened (U = K1 V K2), so the loss's own "U"-leaf
+    # gradient is the natural-coordinate stationarity measure; the ratio is
+    # CG-budget-controlled
+    g = jax.grad(solver._loss)({**p, "U": U})["U"]
+    g0 = jax.grad(solver._loss)({**p, "U": jnp.zeros_like(U)})["U"]
+    assert float(jnp.linalg.norm(g)) < 1e-6 * float(jnp.linalg.norm(g0))
+    l_star = float(solver._loss({**p, "U": U}))
+    rng = np.random.default_rng(2)
+    for _ in range(3):
+        dU = jnp.asarray(rng.normal(size=U.shape)) * 1e-3
+        assert float(solver._loss({**p, "U": U + dU})) > l_star
+
+
+def test_allencahn_2d_envelope_gradient_matches_fd():
+    # the resolvable config (see ac2d_solver): the conditional optimum is
+    # small and the damped GN pins it tightly, so the FD ripple from the
+    # solve floor stays well below both components' slopes (unlike the 1D
+    # case, the 2D boundary has 4N rows and log_tau's slope is large)
+    solver = ac2d_solver()
+    p = moderate_params(solver)
+
+    def profiled_loss(params):
+        U = jax.lax.stop_gradient(solver._u_star(params))
+        return solver._loss({**params, "U": U})
+
+    g = jax.grad(profiled_loss)(p)
+    for key in ("log_tau", "log_v"):
+        eps = 1e-5
+        fd = (float(profiled_loss({**p, key: p[key] + eps}))
+              - float(profiled_loss({**p, key: p[key] - eps}))) / (2 * eps)
+        np.testing.assert_allclose(float(g[key]), fd, rtol=1e-2)
+
+
+def test_allencahn_2d_damped_gn_is_monotone_on_hostile_config():
+    # Under the module CFG (Q=4, fs=10) the mix-sincos content is
+    # unresolvable and the conditional optimum is large (||U*|| ~ 350);
+    # undamped GN oscillates chaotically here (measured: max|U| bouncing
+    # 57..126 with the objective swinging 4 orders of magnitude). The
+    # line-searched iteration must instead descend the loss monotonically
+    # across iteration budgets.
+    prob = make_problem("allencahn_2d-mix-sincos", N_col=16, scale=0.25)
+    p = None
+    losses = []
+    for it in (5, 10, 20):
+        solver = Solver2D(prob, "Matern52_Cos_1d",
+                          dict(CFG, profile_newton_iters=it), POLICY)
+        if p is None:
+            p = moderate_params(solver)
+        U = solver._u_star(p)
+        losses.append(float(solver._loss({**p, "U": U})))
+    assert losses[1] <= losses[0] * (1 + 1e-9)
+    assert losses[2] <= losses[1] * (1 + 1e-9)
+
+
+def test_allencahn_2d_profiled_training_descends():
+    def solver(**kw):
+        prob = make_problem("allencahn_2d-mix-sincos", N_col=24, scale=0.25)
+        return Solver2D(prob, "Matern52_Cos_1d",
+                        dict(CFG, Q=8, llk_weight=200.0, freq_scale=20.0,
+                             **kw), POLICY)
+
+    n = 300
     prof = solver().train(n, verbose=False, mode="chunked")
     adam = solver(u_mode="adam").train(n, verbose=False, mode="chunked")
     assert prof.log["err_list"][-1] < 0.5
     assert prof.log["err_list"][-1] < 0.2 * adam.log["err_list"][-1]
 
 
-def test_profiled_rejects_nonlinear_residual():
-    prob = make_problem("allencahn_2d-mix-sincos", N_col=12, scale=1.0)
-    with pytest.raises(ValueError, match="linear"):
+def test_profiled_rejects_unsupported_residual():
+    import dataclasses as dc
+    prob = make_problem("poisson_2d-sin_sin", N_col=12, scale=1.0)
+    prob = dc.replace(prob, eq_type="unsupported_2d")
+    with pytest.raises(ValueError, match="neither"):
         Solver2D(prob, "Matern52_Cos_1d", CFG, POLICY)
 
 
