@@ -75,15 +75,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--u-mode", default=None, dest="u_mode",
                    choices=["adam", "profiled"],
                    help="latent update: 'adam' (reference protocol) or "
-                        "'profiled' — for linear residuals (poisson_1d, "
-                        "poisson_2d, advection), write the closed-form "
-                        "conditional optimum u*(theta) each step and "
+                        "'profiled' — write the conditional optimum of the "
+                        "latent each step (linear residuals: one whitened "
+                        "SPD solve; Allen-Cahn: damped Gauss-Newton) and "
                         "descend only on the hyperparameters (~100x fewer "
                         "epochs to the same error)")
     p.add_argument("--profile-cg-iters", type=int, default=None,
                    dest="profile_cg_iters",
                    help="2D profiled mode: fixed PCG iterations for the "
                         "U*(theta) normal solve (default 60)")
+    p.add_argument("--profile-objective", default=None,
+                   dest="profile_objective", choices=["marginal", "map"],
+                   help="profiled mode objective: 'marginal' (default — "
+                        "exact negative log marginal likelihood via the "
+                        "Occam term, proper in every hyperparameter) or "
+                        "'map' (the reference's joint-MAP form)")
+    p.add_argument("--profile-newton-iters", type=int, default=None,
+                   dest="profile_newton_iters",
+                   help="profiled Allen-Cahn: damped Gauss-Newton "
+                        "iterations per step (default 3)")
     p.add_argument("--multi-start", type=int, default=None,
                    dest="multi_start",
                    help="warm up this many mixture-frequency "
@@ -155,7 +165,9 @@ def main(argv=None) -> int:
                      multi_start=args.multi_start,
                      multi_start_frac=args.multi_start_frac,
                      u_mode=args.u_mode,
-                     profile_cg_iters=args.profile_cg_iters)
+                     profile_cg_iters=args.profile_cg_iters,
+                     profile_objective=args.profile_objective,
+                     profile_newton_iters=args.profile_newton_iters)
     if args.extra:
         if args.equation not in EQUATIONS_1D:
             print("--extra is only supported for 1D equations",
