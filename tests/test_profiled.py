@@ -88,6 +88,55 @@ def test_envelope_gradient_matches_finite_differences():
                                    rtol=1e-2, atol=1e-8)
 
 
+def test_marginal_objective_is_exact_log_marginal_likelihood():
+    """The profiled loss under profile_objective='marginal' equals the
+    brute-force Gaussian integral of the tempered joint over the latent —
+    value AND theta-gradient (the envelope + Occam assembly vs full
+    autodiff through the dense N x N marginalization)."""
+    solver = make_solver(18, jitter=1e-4)
+    p = moderate_params(solver)
+    z = jnp.zeros(solver.N_col)
+
+    def brute(params):
+        K, Kd = solver._K_and_Kd(params["kernel_paras"])
+        wt = solver.llk_weight * jnp.exp(params["log_tau"])
+        v = jnp.exp(params["log_v"])
+        mask = solver._bc_mask.reshape(-1)
+        b = solver._bc_b.reshape(-1)
+        f = solver.src_loss.reshape(-1)
+        Kinv = jnp.linalg.inv(K)
+        A = Kd @ Kinv
+
+        def E(u):
+            return (0.5 * jnp.linalg.slogdet(K)[1]
+                    + 0.5 * u @ (Kinv @ u)
+                    + 0.5 * wt * jnp.sum(mask * (u - b) ** 2)
+                    - 0.5 * solver.N_b * jnp.log(wt)
+                    + 0.5 * v * jnp.sum((A @ u - f) ** 2)
+                    - 0.5 * solver.N_col * params["log_v"])
+
+        H = jax.hessian(E)(z)
+        u_star = jnp.linalg.solve(H, -jax.grad(E)(z))
+        # -log int e^{-E(u)} du, dropping the (N/2) log 2pi constant
+        return E(u_star) + 0.5 * jnp.linalg.slogdet(H)[1]
+
+    def ours(params):
+        ut = jax.lax.stop_gradient(solver._u_star(params))
+        return solver._loss(dict(params, u=ut))
+
+    np.testing.assert_allclose(float(ours(p)), float(brute(p)), rtol=1e-9)
+    # gradients agree to the S-ridge scale (1e-10 relative on S, amplified
+    # by the logdet derivative) + the envelope's solve floor: ~2e-5 here
+    g_ours = jax.grad(ours)(p)
+    g_brute = jax.grad(brute)(p)
+    for key in ("log_tau", "log_v"):
+        np.testing.assert_allclose(float(g_ours[key]), float(g_brute[key]),
+                                   rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_ours["kernel_paras"]["freq"]),
+        np.asarray(g_brute["kernel_paras"]["freq"]), rtol=1e-4, atol=1e-10)
+
+
 def test_profiled_converges_much_faster_than_adam_u():
     # profiled mode trains hyperparameters only, so it tolerates (and the
     # marginal objective's sharper landscape rewards) a larger step size
