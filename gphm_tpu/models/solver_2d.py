@@ -560,11 +560,13 @@ class Solver2D:
             mode = "chunked"  # resume keeps the absolute eval cadence
         if on_checkpoint is not None or nan_policy == "raise":
             mode = "chunked"  # fused has no checkpoints / NaN guard
-        if mesh is not None and self.u_mode == "profiled":
-            raise ValueError(
-                "u_mode='profiled' does not yet run sharded (per-axis eigh "
-                "inside the step is not mesh-partitioned); drop --mesh or "
-                "use u_mode='adam'")
+        # profiled mode shards too: the per-axis eigh and factorizations are
+        # replicated (N x N operands), the grid-shaped CG state and all
+        # lifts are column-sharded. One honesty note (tested): the
+        # warm-started CG at cond(S) ~ 1e12 amplifies sharded-reduction
+        # ordering noise, so sharded profiled trajectories match
+        # single-device statistically (percent-level) rather than to 1e-10
+        # like the adam path.
         if mesh is not None:
             # sharded training (SURVEY §2.4 TP): U columns are committed to
             # the mesh's model axis; the lifts (K_d K^-1 U) are
