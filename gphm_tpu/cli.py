@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="profile_newton_iters",
                    help="profiled Allen-Cahn: damped Gauss-Newton "
                         "iterations per step (default 3)")
+    p.add_argument("--nan-policy", default=None, dest="nan_policy",
+                   choices=["rollback", "warn", "raise"],
+                   help="non-finite-state handling at an eval point: "
+                        "'rollback' (default — restore the last finite "
+                        "snapshot with fresh optimizer moments, up to 3 "
+                        "times, then stop), 'warn' (the reference trains "
+                        "blindly through NaN), 'raise' (abort)")
     p.add_argument("--multi-start", type=int, default=None,
                    dest="multi_start",
                    help="warm up this many mixture-frequency "
@@ -164,7 +171,7 @@ def main(argv=None) -> int:
                      freq_init=args.freq_init, n_evals=args.n_evals,
                      multi_start=args.multi_start,
                      multi_start_frac=args.multi_start_frac,
-                     u_mode=args.u_mode,
+                     u_mode=args.u_mode, nan_policy=args.nan_policy,
                      profile_cg_iters=args.profile_cg_iters,
                      profile_objective=args.profile_objective,
                      profile_newton_iters=args.profile_newton_iters)

@@ -128,7 +128,8 @@ def _train_scheduled(config: RunConfig, nepoch: int, mesh, *,
                   on_checkpoint=on_checkpoint, mesh=mesh,
                   start_epoch=start, stop_epoch=stop,
                   min_err0=min_err, error_increase_count0=err_inc,
-                  init_state=state, n_evals=config.n_evals, **extra_kw)
+                  init_state=state, n_evals=config.n_evals,
+                  nan_policy=config.nan_policy, **extra_kw)
         if config.family == "1d_extra":
             change = int(nepoch * config.change_point)
             if start > change:
@@ -349,6 +350,7 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                                on_eval=on_eval, on_checkpoint=on_checkpoint,
                                mesh=mesh, stop_epoch=stop_epoch,
                                n_evals=config.n_evals,
+                               nan_policy=config.nan_policy,
                                **extra_kw, **resume_kw)
         err_list.append(res.min_err)
         stop_epochs.append(res.early_stopping["epoch"])

@@ -43,6 +43,9 @@ class TrainState:
     eval_fn: Callable            # params -> relative-L2 error (device scalar)
     criterion_fn: Callable       # params -> early-stop criterion
     param_log_fn: Optional[Callable] = None
+    opt_init: Optional[Callable] = None  # params -> fresh optimizer state
+                                         # (nan_policy="rollback" uses it to
+                                         # drop the blown-up Adam moments)
 
 
 @dataclasses.dataclass
@@ -257,7 +260,9 @@ def chunked_train(
                                                #  stats) — stats carries the
                                                # running min_err / counter so
                                                # resume restores them
-    nan_policy: str = "warn",                # "warn" | "raise"
+    nan_policy: str = "warn",                # "warn" | "raise" | "rollback"
+    max_recoveries: int = 3,                 # rollback attempts before the
+                                             # run stops itself
     start_epoch: int = 0,
     stop_epoch: Optional[int] = None,        # run [start_epoch, stop_epoch)
                                              # of the nepoch-budget protocol
@@ -319,6 +324,15 @@ def chunked_train(
     epoch = start_epoch
     loss = float("nan")
     best_params, best_epoch = None, None
+    # nan_policy="rollback" state: a copy of the last finite
+    # (params, opt_state) pair, refreshed at every finite eval. Seeded
+    # with the initial state so even a first-eval blow-up can roll back
+    # (onto fresh optimizer moments) instead of training on NaN.
+    recoveries = 0
+    copy_tree = partial(jax.tree_util.tree_map, jnp.copy)
+    last_good = ((copy_tree(state.params), copy_tree(state.opt_state),
+                  start_epoch - 1)
+                 if nan_policy == "rollback" else None)
     for t in targets:
         nsteps = t - epoch
         if nsteps > 0:
@@ -329,11 +343,57 @@ def chunked_train(
                 and epoch not in fired:
             fired.add(epoch)
             state = phase_hook(epoch, state)
+            # phase-1 snapshots have the wrong parameter structure for the
+            # phase-2 chunk runner — never roll back across the switch;
+            # re-seed with the fresh phase-2 state instead
+            last_good = ((copy_tree(state.params),
+                          copy_tree(state.opt_state), epoch - 1)
+                         if nan_policy == "rollback" else None)
 
         i = epoch - 1
         if i in eval_set:
             err = float(state.eval_fn(state.params))
             loss_f = float(loss)
+
+            # NaN/inf guard — the reference trains blindly through
+            # divergence and only papers over NaNs in post-hoc analysis
+            # (SURVEY §5 "failure detection"). A non-finite state is never
+            # written to the rolling checkpoint (resuming from it could
+            # only continue the divergence).
+            if not (np.isfinite(loss_f) and np.isfinite(err)):
+                msg = (f"non-finite training state at epoch {i}: "
+                       f"loss={loss_f}, rel-L2={err}")
+                if nan_policy == "raise":
+                    raise FloatingPointError(msg)
+                print("WARNING:", msg)  # surfaced even in quiet runs
+                log["loss_list"].append(loss_f)
+                log["err_list"].append(err)
+                log["epoch_list"].append(i)
+                if on_eval is not None:
+                    on_eval(i, err, loss_f)
+                if nan_policy == "rollback" and last_good is not None:
+                    if recoveries >= max_recoveries:
+                        early_stopping = {"flag": True, "epoch": i,
+                                          "reason": "nan"}
+                        # hand back the last finite state, not the NaNs
+                        state.params = copy_tree(last_good[0])
+                        state.opt_state = copy_tree(last_good[1])
+                        print(f"stopping at epoch {i}: still non-finite "
+                              f"after {recoveries} rollbacks")
+                        break
+                    recoveries += 1
+                    state.params = copy_tree(last_good[0])
+                    # fresh optimizer state: the saved Adam moments are what
+                    # drove the blow-up; re-initializing changes the
+                    # trajectory enough to escape a deterministic re-NaN
+                    state.opt_state = (state.opt_init(state.params)
+                                       if state.opt_init is not None
+                                       else copy_tree(last_good[1]))
+                    print(f"rollback {recoveries}/{max_recoveries}: "
+                          f"restored epoch-{last_good[2]} state, "
+                          f"continuing at epoch {i}")
+                continue
+
             if err < min_err:
                 min_err = err
                 # keep the argmin state: sharp post-dip drift (two-GP
@@ -364,15 +424,10 @@ def chunked_train(
                               {"min_err": min_err,
                                "error_increase_count": error_increase_count})
 
-            # NaN/inf guard — the reference trains blindly through
-            # divergence and only papers over NaNs in post-hoc analysis
-            # (SURVEY §5 "failure detection")
-            if not (np.isfinite(loss_f) and np.isfinite(err)):
-                msg = (f"non-finite training state at epoch {i}: "
-                       f"loss={loss_f}, rel-L2={err}")
-                if nan_policy == "raise":
-                    raise FloatingPointError(msg)
-                print("WARNING:", msg)  # surfaced even in quiet runs
+            if nan_policy == "rollback":
+                # copy, not alias: the chunk runner donates its inputs
+                last_good = (copy_tree(state.params),
+                             copy_tree(state.opt_state), i)
 
             stop = False
             if early_stop_mode == "tol":
@@ -389,10 +444,17 @@ def chunked_train(
     if stop_epoch is not None and on_checkpoint is not None \
             and epoch == end and (end - 1) not in eval_set:
         # bounded segment ends between eval points: checkpoint the stop
-        # state so a --resume continuation loses nothing
-        on_checkpoint(end - 1, state.params, state.opt_state,
-                      {"min_err": min_err,
-                       "error_increase_count": error_increase_count})
+        # state so a --resume continuation loses nothing — unless it is
+        # non-finite (resuming from a diverged state is never useful)
+        finite = all(bool(np.all(np.isfinite(x)))
+                     for x in jax.tree_util.tree_leaves(state.params))
+        if finite:
+            on_checkpoint(end - 1, state.params, state.opt_state,
+                          {"min_err": min_err,
+                           "error_increase_count": error_increase_count})
+        else:
+            print(f"WARNING: segment end state at epoch {end - 1} is "
+                  f"non-finite; rolling checkpoint not updated")
 
     return TrainResult(params=state.params, opt_state=state.opt_state,
                        log=log, min_err=min_err,
@@ -401,4 +463,5 @@ def chunked_train(
                        extras={"error_increase_count": error_increase_count,
                                "last_epoch": epoch,
                                "best_params": best_params,
-                               "best_epoch": best_epoch})
+                               "best_epoch": best_epoch,
+                               "nan_recoveries": recoveries})

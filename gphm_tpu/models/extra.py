@@ -274,6 +274,7 @@ class Solver1DExtra(Solver1D):
             eval_fn=jax.jit(eval_extra),
             criterion_fn=lambda _p: base_criterion,
             param_log_fn=lambda _p: base_stats,
+            opt_init=solver.optimizer_extra.init,
         )
 
     def train(self, nepoch: int, seed: int = 0, verbose: bool = True,
@@ -329,6 +330,7 @@ class Solver1DExtra(Solver1D):
                 eval_fn=self.eval_err,
                 criterion_fn=self.criterion,
                 param_log_fn=jax.jit(self.param_log),
+                opt_init=self.optimizer.init,
             )
             boundaries = [change_point + 1]
 

@@ -421,7 +421,7 @@ class Solver1D:
         if start_epoch or init_state is not None or stop_epoch is not None \
                 or n_evals != 20:
             mode = "chunked"  # resume keeps the absolute eval cadence
-        if on_checkpoint is not None or nan_policy == "raise":
+        if on_checkpoint is not None or nan_policy in ("raise", "rollback"):
             # fused mode writes no rolling checkpoints and has no NaN guard:
             # silently dropping either would betray the caller's intent
             mode = "chunked"
@@ -463,6 +463,7 @@ class Solver1D:
             eval_fn=self.eval_err,
             criterion_fn=self.criterion,
             param_log_fn=jax.jit(self.param_log),
+            opt_init=self.optimizer.init,
         )
         return chunked_train(
             state=state, nepoch=nepoch,

@@ -558,7 +558,7 @@ class Solver2D:
         if start_epoch or init_state is not None or stop_epoch is not None \
                 or n_evals != 20:
             mode = "chunked"  # resume keeps the absolute eval cadence
-        if on_checkpoint is not None or nan_policy == "raise":
+        if on_checkpoint is not None or nan_policy in ("raise", "rollback"):
             mode = "chunked"  # fused has no checkpoints / NaN guard
         # profiled mode shards too: the per-axis eigh and factorizations are
         # replicated (N x N operands), the grid-shaped CG state and all
@@ -601,6 +601,7 @@ class Solver2D:
             eval_fn=self.eval_err,
             criterion_fn=self.criterion,
             param_log_fn=jax.jit(self.param_log),
+            opt_init=self.optimizer.init,
         )
         # early stopping: active for Poisson/AC when tol > 0
         # (code/model_GP_solver_2d.py:327-332); the advection reference has it

@@ -70,6 +70,16 @@ class RunConfig:
                                   # cadences record the two-GP post-switch
                                   # dip and let the error-increase early
                                   # stop fire near it
+    nan_policy: str = "rollback"  # "rollback": on a non-finite eval,
+                                  # restore the last finite (params,
+                                  # opt_state ) snapshot with freshly
+                                  # initialized optimizer moments and keep
+                                  # going (<= 3 times, then stop early);
+                                  # "warn" reproduces the reference's
+                                  # train-blindly-through-NaN behaviour,
+                                  # "raise" aborts. Checkpoints never
+                                  # record a non-finite state under any
+                                  # policy.
     freq_init: str = "linspace"   # "spectral": place mixture frequencies
                                   # on the source-term periodogram peaks
                                   # (ops/kernels.spectral_freqs) instead of

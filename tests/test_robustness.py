@@ -212,3 +212,94 @@ def test_resume_recovers_min_err_from_metrics(tmp_path):
     # the resumed tail alone would report ~2.0 (no evals) or its own local
     # min; the recovered aggregate must include the pre-crash minimum
     assert res.err_mean <= pre_min + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# nan_policy="rollback": restore the last finite snapshot on divergence
+# (motivating incident: an allencahn_2d 3e6-epoch f32 run NaN'd at epoch
+# ~900k and trained blindly on NaN for 2M more epochs, then poisoned its
+# own rolling checkpoint so --resume continued from NaN)
+
+
+def _stub_state(nan_on_calls, opt_init=None):
+    """Driver-level TrainState: params = one scalar step counter; selected
+    run_chunk calls return NaN params (a deterministic divergence)."""
+    from gphm_tpu.models.base import TrainState
+
+    calls = []
+
+    def run_chunk(params, opt_state, nsteps):
+        calls.append(nsteps)
+        x = params["x"] + nsteps
+        if len(calls) in nan_on_calls:
+            x = x * jnp.nan
+        return {"x": x}, opt_state, x * 0.0 + 1.0
+
+    return TrainState(
+        params={"x": jnp.zeros(())}, opt_state={"m": jnp.zeros(())},
+        run_chunk=run_chunk,
+        eval_fn=lambda p: p["x"] * 0.0 + 0.5,  # NaN propagates
+        criterion_fn=lambda p: p["x"] * 0.0 + 1.0,
+        opt_init=opt_init,
+    ), calls
+
+
+def test_nan_rollback_restores_last_finite():
+    from gphm_tpu.models.base import chunked_train
+
+    opt_inits = []
+
+    def opt_init(params):
+        opt_inits.append(1)
+        return {"m": jnp.zeros(())}
+
+    state, _ = _stub_state(nan_on_calls={3}, opt_init=opt_init)
+    seen = []
+    res = chunked_train(state=state, nepoch=40, n_evals=20,
+                        nan_policy="rollback", verbose=False,
+                        on_checkpoint=lambda i, p, s, st: seen.append(
+                            float(p["x"])))
+    assert res.extras["nan_recoveries"] == 1
+    assert opt_inits  # optimizer moments were re-initialized
+    # the run finished and its final state is finite
+    assert np.isfinite(float(res.params["x"]))
+    # the rolling checkpoint never saw a non-finite state
+    assert seen and all(np.isfinite(v) for v in seen)
+    # exactly one NaN eval is on the record (honest history)
+    assert sum(1 for e in res.log["err_list"] if not np.isfinite(e)) == 1
+
+
+def test_nan_rollback_gives_up_and_returns_finite_state():
+    from gphm_tpu.models.base import chunked_train
+
+    # every chunk from the 2nd on diverges: rollback cannot help
+    state, calls = _stub_state(nan_on_calls=set(range(2, 1000)))
+    res = chunked_train(state=state, nepoch=40, n_evals=20,
+                        nan_policy="rollback", verbose=False)
+    assert res.early_stopping == {"flag": True, "epoch": res.early_stopping[
+        "epoch"], "reason": "nan"}
+    assert res.extras["nan_recoveries"] == 3  # default max_recoveries
+    # the returned params are the last finite snapshot, not the NaNs
+    assert np.isfinite(float(res.params["x"]))
+
+
+def test_nan_rollback_solver_end_to_end():
+    """A solver driven to divergence by an absurd lr self-terminates with
+    finite params instead of training through NaN to the budget end."""
+    prob = make_problem("poisson_1d-single_sin", N_col=24, scale=2 * np.pi)
+    solver = Solver1D(prob, "Matern52_Cos_1d", dict(CFG, lr=1e12), POLICY)
+    res = solver.train(nepoch=40, verbose=False, nan_policy="rollback")
+    assert res.early_stopping.get("reason") == "nan"
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree_util.tree_leaves(res.params))
+
+
+def test_nan_rollback_identical_to_warn_when_finite():
+    """On a healthy run the rollback policy must not change the trajectory."""
+    prob = make_problem("poisson_1d-single_sin", N_col=24, scale=2 * np.pi)
+    r1 = Solver1D(prob, "Matern52_Cos_1d", dict(CFG), POLICY).train(
+        nepoch=40, verbose=False, mode="chunked", nan_policy="warn")
+    r2 = Solver1D(prob, "Matern52_Cos_1d", dict(CFG), POLICY).train(
+        nepoch=40, verbose=False, nan_policy="rollback")
+    assert r1.log["err_list"] == r2.log["err_list"]
+    assert r2.extras["nan_recoveries"] == 0
