@@ -46,6 +46,22 @@ def test_load_model_extra_two_phase(tmp_path):
     assert np.isfinite(rel_l2(solver_b, params_b))
 
 
+def test_load_model_roundtrip_profiled_whitened(tmp_path):
+    """Profiled runs store the WHITENED latent (u = K ut) in the checkpoint;
+    load_model must rebuild a profiled solver (u_mode from the sidecar
+    config) whose solve-free prediction path reproduces the run's reported
+    minimum error."""
+    d, cfg = _run(tmp_path, "poisson_1d-single_sin", nepoch=60, N_col=48,
+                  Q=6, u_mode="profiled")
+    solver, params = load_model(d)
+    assert solver.u_mode == "profiled" and solver.whitened
+    import json
+    with open(os.path.join(d, "metrics_fold0.jsonl")) as f:
+        errs = [json.loads(l)["rel_l2"] for l in f if l.strip()]
+    # the best checkpoint's recomputed error equals the best recorded eval
+    np.testing.assert_allclose(rel_l2(solver, params), min(errs), rtol=1e-6)
+
+
 def test_compare_runs_figure(tmp_path):
     d1, _ = _run(tmp_path, "poisson_1d-single_sin", nepoch=20, N_col=32, Q=4)
     out = str(tmp_path / "cmp.png")
