@@ -305,7 +305,25 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                     tmpl_p = solver.init_params()
                     tmpl = (tmpl_p, solver.optimizer.init(tmpl_p))
                 resume_kw["init_state"] = load_checkpoint(latest, tmpl)
-                if verbose:
+                # A checkpoint written by pre-guard code (or a torn write)
+                # can hold a non-finite state; resuming from it would seed
+                # training — and the rollback's last-good snapshot — with
+                # NaNs. Reject it: restart from epoch 0 but keep the
+                # recovered running minimum so the whole-run aggregate
+                # stays honest.
+                leaves = jax.tree_util.tree_leaves(resume_kw["init_state"]) \
+                    + jax.tree_util.tree_leaves(
+                        resume_kw.get("base_params", ()))
+                if not all(np.all(np.isfinite(l)) for l in leaves
+                           if hasattr(l, "dtype")
+                           and np.issubdtype(np.asarray(l).dtype,
+                                             np.floating)):
+                    print(f"WARNING: rolling checkpoint {latest} holds a "
+                          f"non-finite state (epoch {epoch_done}); "
+                          f"discarding it and restarting from epoch 0")
+                    resume_kw = dict(min_err0=float(min_err0)) \
+                        if np.isfinite(float(min_err0)) else {}
+                elif verbose:
                     print(f"resuming from epoch {start_ep}"
                           + (" (phase 2)" if phase2 else ""))
 

@@ -140,6 +140,36 @@ def test_experiment_resume_from_latest(tmp_path):
     assert np.isfinite(res_b.err_mean) or res_b.err_mean == 2.0
 
 
+def test_experiment_resume_rejects_nonfinite_checkpoint(tmp_path):
+    """A rolling checkpoint holding NaNs (written by pre-guard code or a
+    torn write) must not seed the resumed run: resume discards it, restarts
+    from epoch 0, and still produces a finite result (observed live on the
+    allencahn_2d 3e6 rerun whose epoch-2.1M checkpoint was all-NaN)."""
+    import glob
+
+    from gphm_tpu.utils.checkpoint import load_meta, save_checkpoint
+
+    cfg = load_config("poisson_1d-single_sin", dtype="float64", N_col=32,
+                      nepoch=40, Q=4)
+    run_experiment(cfg, out_base=str(tmp_path), verbose=False, figures=False)
+    [latest] = glob.glob(str(tmp_path / "**" / "latest.npz"), recursive=True)
+
+    # poison the checkpoint: NaN every floating leaf, keep the meta
+    meta = load_meta(latest)["meta"]
+    from gphm_tpu.experiment import make_solver
+    solver = make_solver(cfg)
+    p = solver.init_params()
+    state = (jax.tree_util.tree_map(lambda x: jnp.full_like(x, jnp.nan), p),
+             solver.optimizer.init(p))
+    save_checkpoint(latest, state, meta=meta)
+
+    res = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                         figures=False, resume=True)
+    assert np.isfinite(res.err_mean)
+    # the fresh restart keeps the recovered pre-crash running minimum
+    assert res.err_mean <= float(meta["min_err"]) + 1e-12
+
+
 def test_mixed_precision_policy():
     """mixed mode: f32 params/Gram, f64 factorization — loss close to the
     full-f64 value even when plain f32 drifts."""
