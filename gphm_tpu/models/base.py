@@ -69,7 +69,16 @@ def eval_epochs(nepoch: int, n_evals: int = 20) -> List[int]:
     period = nepoch / n_evals
     if period <= 0:
         return list(range(nepoch))
-    return [i for i in range(nepoch) if i % period == 0]
+    if period == int(period):
+        # exact reference semantics: i % (nepoch/20) == 0 (float modulo)
+        return [i for i in range(nepoch) if i % period == 0]
+    # Non-integer period: the reference's float modulo matches (almost)
+    # only i=0 — e.g. nepoch=20000, n_evals=150 silently degrades to a
+    # single eval at epoch 0 and the run records nothing (observed live:
+    # a 20k-epoch two-GP run whose post-switch dip went unrecorded).
+    # Spread n_evals points evenly instead.
+    return sorted({min(int(round(j * period)), nepoch - 1)
+                   for j in range(n_evals)})
 
 
 def freezable_adam(lr: float, freeze=None) -> optax.GradientTransformation:

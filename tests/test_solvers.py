@@ -198,6 +198,12 @@ def test_eval_epochs_cadence():
                                 55, 60, 65, 70, 75, 80, 85, 90, 95]
     assert len(eval_epochs(100000)) == 20
     assert eval_epochs(10) == list(range(10))  # period 0.5 -> every epoch
+    # non-integer period: the reference's float modulo would match only
+    # i=0 (e.g. 20000/150 = 133.33...); the cadence must still spread
+    # n_evals points over the budget
+    ee = eval_epochs(20000, 150)
+    assert len(ee) == 150 and ee[0] == 0 and ee[-1] >= 19800
+    assert all(100 <= b - a <= 167 for a, b in zip(ee, ee[1:]))
 
 
 def test_train_1d_smoke_error_decreases():
