@@ -282,6 +282,13 @@ def chunked_train(
     max_launch: int = 5000,                  # steps per device launch; keep
                                              # each launch well under ~1 min
                                              # of device time (watchdog)
+    early_stop_after: int = 0,               # arm the early stop only from
+                                             # this epoch (two-GP family: the
+                                             # change point — phase-1 test
+                                             # error is meaningless before
+                                             # the extra GP exists, and dense
+                                             # eval cadences otherwise fire
+                                             # the rise counter pre-switch)
     n_evals: int = 20,                       # eval-cadence points per budget
                                              # (reference hard-codes 20)
     verbose: bool = True,
@@ -412,7 +419,7 @@ def chunked_train(
                 # runner donates its input buffers.
                 best_params = jax.tree_util.tree_map(jnp.copy, state.params)
                 best_epoch = i
-            elif err - min_err > threshold:
+            elif err - min_err > threshold and i >= early_stop_after:
                 error_increase_count += 1
 
             log["loss_list"].append(np.log(loss_f) if loss_f > 1 else loss_f)
@@ -442,8 +449,8 @@ def chunked_train(
             if early_stop_mode == "tol":
                 stop = tol > 0 and criterion < tol
             elif early_stop_mode == "tol_or_count":
-                stop = i > 0 and (criterion < tol
-                                  or error_increase_count > 7)
+                stop = i > 0 and i >= early_stop_after \
+                    and (criterion < tol or error_increase_count > 7)
             if stop:
                 early_stopping = {"flag": True, "epoch": i}
                 if verbose:

@@ -349,6 +349,13 @@ class Solver1DExtra(Solver1D):
             state=state, nepoch=nepoch,
             tol=float(self.config.get("tol", -1.0)),
             early_stop_mode="tol_or_count",
+            # Arm the stop (and the rise counter) only once the extra GP
+            # exists: phase-1 test error is not the quantity the reference's
+            # drift stop protects (code/model_GP_solver_1d_extra.py:317-322
+            # runs it throughout, but at 20 evals phase 1 never accumulates
+            # 8 rises; dense cadences otherwise kill the run pre-switch —
+            # observed live on the marginal-engine x2_add_sinx run).
+            early_stop_after=change_point + 1,
             phase_boundaries=boundaries,
             phase_hook=phase_hook if not in_phase2 else None,
             on_eval=on_eval, on_checkpoint=on_checkpoint,

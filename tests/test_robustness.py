@@ -313,6 +313,40 @@ def test_nan_rollback_gives_up_and_returns_finite_state():
     assert np.isfinite(float(res.params["x"]))
 
 
+def test_early_stop_after_gates_rise_counter():
+    """The error-increase stop (two-GP family) must not fire before
+    ``early_stop_after``: phase-1 test error is meaningless before the
+    extra GP exists, and dense eval cadences otherwise kill the run
+    pre-switch (observed live on x2_add_sinx at n_evals=150)."""
+    from gphm_tpu.models.base import TrainState, chunked_train
+
+    def make_state():
+        def run_chunk(params, opt_state, nsteps):
+            return {"x": params["x"] + nsteps}, opt_state, \
+                params["x"] * 0.0 + 1.0
+
+        return TrainState(
+            params={"x": jnp.zeros(())}, opt_state={"m": jnp.zeros(())},
+            run_chunk=run_chunk,
+            # strictly rising error: every eval after the first is a
+            # +1e-3-threshold rise
+            eval_fn=lambda p: p["x"] * 0.01 + 0.5,
+            criterion_fn=lambda p: p["x"] * 0.0 + 1.0,
+        )
+
+    ungated = chunked_train(state=make_state(), nepoch=40, n_evals=20,
+                            early_stop_mode="tol_or_count", tol=-1,
+                            verbose=False)
+    assert ungated.early_stopping["flag"]
+    assert ungated.early_stopping["epoch"] < 21
+
+    gated = chunked_train(state=make_state(), nepoch=40, n_evals=20,
+                          early_stop_mode="tol_or_count", tol=-1,
+                          early_stop_after=21, verbose=False)
+    if gated.early_stopping["flag"]:
+        assert gated.early_stopping["epoch"] >= 21
+
+
 def test_nan_rollback_solver_end_to_end():
     """A solver driven to divergence by an absurd lr self-terminates with
     finite params instead of training through NaN to the budget end."""
