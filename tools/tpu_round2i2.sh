@@ -45,6 +45,13 @@ seg result_log_marg --equation poisson_1d-x2_add_sinx --extra --quiet \
     --u-mode profiled --dtype refined --freq-init spectral \
     --change-point 0.5 --nepoch 20000 --n-evals 150
 
+# hedge: the marginal phase-1 trajectory on x2 plateaus far above the
+# MAP-profiled engine's (1.39 vs 0.30 rel-L2 measured on CPU f64); run the
+# proven MAP objective too so the headline is covered either way
+seg result_log_marg_map --equation poisson_1d-x2_add_sinx --extra --quiet \
+    --u-mode profiled --profile-objective map --dtype refined \
+    --freq-init spectral --change-point 0.5 --nepoch 20000 --n-evals 150
+
 # I2/I3: easy 1D configs (G analogs: 6.2e-6 / 6.8e-5 at 20k)
 seg result_log_marg --equation poisson_1d-single_sin --quiet \
     --u-mode profiled --dtype refined --nepoch 6000 --n-evals 30
