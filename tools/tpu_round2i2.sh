@@ -58,10 +58,15 @@ seg result_log_marg --equation poisson_1d-single_sin --quiet \
 seg result_log_marg --equation poisson_1d-sin_cos --quiet \
     --u-mode profiled --dtype refined --nepoch 6000 --n-evals 30
 
-# I4: mix_sin two-GP (G analog: 7.9e-5)
+# I4: mix_sin two-GP (G analog: 7.9e-5).  CPU f64 measurement: the
+# marginal phase-1 plateaus ~5e-2 where the MAP engine reached 7.9e-5,
+# so hedge with a MAP leg here too.
 seg result_log_marg --equation poisson_1d-mix_sin --extra --quiet \
     --u-mode profiled --dtype refined --change-point 0.5 \
     --nepoch 20000 --n-evals 150
+seg result_log_marg_map --equation poisson_1d-mix_sin --extra --quiet \
+    --u-mode profiled --profile-objective map --dtype refined \
+    --change-point 0.5 --nepoch 20000 --n-evals 150
 
 # I5: x_time_sinx (G analog: 2.4e-3)
 seg result_log_marg --equation poisson_1d-x_time_sinx --quiet \
