@@ -92,7 +92,8 @@ def parse_schedule(spec: str, nepoch: int):
 
 
 def _train_scheduled(config: RunConfig, nepoch: int, mesh, *,
-                     verbose, on_eval, on_checkpoint, extra_kw, resume_kw):
+                     verbose, on_eval, on_checkpoint, extra_kw, resume_kw,
+                     seed: int = 0, stop_epoch=None):
     """Progressive-precision training: run the single nepoch-budget protocol
     as consecutive dtype segments with in-memory state handoff.
 
@@ -114,9 +115,18 @@ def _train_scheduled(config: RunConfig, nepoch: int, mesh, *,
     merged_log, wall, results = {}, 0.0, []
     last = None
     best_params, best_epoch = None, None
-    for dtype, stop in segments:
-        if stop <= start:
+    for i, (dtype, stop) in enumerate(segments):
+        final_seg = i == len(segments) - 1
+        if stop <= start and not (final_seg and last is None):
+            # skip already-completed segments; the final segment still runs
+            # (as a graceful no-op) when the whole budget is done, so a
+            # --resume of a finished run reports the result instead of
+            # crashing on last=None
             continue
+        if stop_epoch is not None:
+            if start >= stop_epoch:
+                break
+            stop = min(stop, int(stop_epoch))
         seg_cfg = dataclasses.replace(config, dtype=dtype, dtype_schedule="")
         solver = make_solver(seg_cfg)
         if state is not None:
@@ -124,7 +134,7 @@ def _train_scheduled(config: RunConfig, nepoch: int, mesh, *,
             state = jax.tree_util.tree_map(
                 lambda a: jnp.asarray(a, d) if jnp.issubdtype(
                     jnp.asarray(a).dtype, jnp.floating) else a, state)
-        kw = dict(verbose=verbose, on_eval=on_eval,
+        kw = dict(seed=seed, verbose=verbose, on_eval=on_eval,
                   on_checkpoint=on_checkpoint, mesh=mesh,
                   start_epoch=start, stop_epoch=stop,
                   min_err0=min_err, error_increase_count0=err_inc,
@@ -362,7 +372,8 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
             res = _train_scheduled(config, nepoch, mesh, verbose=verbose,
                                    on_eval=on_eval,
                                    on_checkpoint=on_checkpoint,
-                                   extra_kw=extra_kw, resume_kw=resume_kw)
+                                   extra_kw=extra_kw, resume_kw=resume_kw,
+                                   seed=fold, stop_epoch=stop_epoch)
         else:
             res = solver.train(nepoch, seed=fold, verbose=verbose,
                                on_eval=on_eval, on_checkpoint=on_checkpoint,

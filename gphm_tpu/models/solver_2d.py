@@ -35,6 +35,7 @@ import numpy as np
 from gphm_tpu.models.base import TrainResult, TrainState, chunked_train, \
     make_chunk_runner
 from gphm_tpu.ops.chol import policy_cholesky
+from gphm_tpu.ops.profile1d import ETAS
 from gphm_tpu.ops.kernels import StationaryKernel, get_kernel, \
     init_mixture_params
 from gphm_tpu.precision import Policy, default_policy
@@ -221,6 +222,15 @@ class Solver2D:
                 "solve='cg' with cg_precond=False has no factor for an "
                 "exact log-determinant: set logdet: false, keep "
                 "cg_precond: true, or set logdet_mode: 'slq'")
+        if self.logdet_mode == "slq" and (self.solve_mode != "cg"
+                                          or self.cg_precond):
+            # the SLQ branch only exists on the matvec-only tier; anywhere a
+            # factor exists the exact logdet is strictly better — reject the
+            # combination instead of silently measuring the wrong estimator
+            raise ValueError(
+                "logdet_mode='slq' is the matvec-only completion: it "
+                "requires solve: 'cg' with cg_precond: false (a "
+                "factor-bearing mode already has the exact logdet)")
 
         # predict-time solves are widened to f64 when x64 is live (see
         # Solver1D.__init__: f32 predict solves can misreport a correctly
@@ -328,8 +338,7 @@ class Solver2D:
         # prior quadratic interpolate in eta, so the search is elementwise
         # on top of the lift matmuls.
         Kd2t = Kd2.T
-        etas = jnp.asarray([1.0, 0.5, 0.25, 0.12, 0.06, 0.03, 0.0],
-                           K1.dtype)
+        etas = jnp.asarray(ETAS, K1.dtype)
 
         def lin_lift(V):
             return a1 * ((Kd1 @ V) @ K2) + (K1 @ V) @ Kd2t
@@ -390,7 +399,10 @@ class Solver2D:
         U = params["U"]
         if self.N1 == self.N2 and self.solve_mode == "cholesky" \
                 and self.config.get("batched_chol", False) \
-                and not getattr(self, "_wide_exact", False):
+                and not getattr(self, "_wide_exact", False) \
+                and not getattr(self.policy, "refine_iters", 0):
+            # (the refined tier's PCG custom VJPs are unbatched — route the
+            # refined policy through the two independent factors below)
             # optional: stack the two per-dim factorizations into one batched
             # Cholesky. Measured ~8% SLOWER than two independent factors on
             # TPU v5e (XLA does not parallelize the chol batch), so off by

@@ -411,7 +411,13 @@ def spectral_freqs(x, values, Q: int, freq_scale: float,
     peak = np.where((mag[1:-1] >= mag[:-2]) & (mag[1:-1] >= mag[2:]))[0] + 1
     peak = peak[np.argsort(mag[peak])[::-1]]
     if peak.size:
-        peak = peak[mag[peak] >= 1e-3 * mag[peak[0]]]
+        # the floor is relative to the FULL spectrum (DC included): a
+        # constant/DC-dominated source has interior "maxima" that are pure
+        # window-sidelobe/roundoff noise, and a floor relative to the
+        # strongest interior bin passes them all (0 >= 0 for an all-zero
+        # source) — seeding components at arbitrary near-Nyquist bins
+        floor = 1e-3 * mag.max()
+        peak = peak[mag[peak] >= floor] if floor > 0.0 else peak[:0]
 
     n_spec = int(np.ceil(Q * (1.0 - coverage))) if peak.size else 0
     n_cov = Q - n_spec

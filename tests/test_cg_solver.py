@@ -168,3 +168,17 @@ def test_slq_cg_training_statistically_matches_dense():
     assert np.isfinite(e2).all()
     # same objective up to O(1/sqrt(M)) logdet noise: errors track closely
     np.testing.assert_allclose(e2, e1, rtol=0.05)
+
+
+def test_slq_requires_matvec_only_tier():
+    """logdet_mode='slq' anywhere a factor exists is a config conflict: the
+    user would silently measure the exact-factor logdet instead of SLQ."""
+    prob = make_problem("poisson_2d-sin_sin", N_col=16, scale=2 * np.pi)
+    base = dict(Q=2, lr=0.01, llk_weight=200.0, logdet=True, tol=-1.0,
+                freq_scale=20.0, jitter=1e-6)
+    with pytest.raises(ValueError, match="matvec-only"):
+        Solver2D(prob, "Matern52_Cos_1d",
+                 dict(base, solve="cg", logdet_mode="slq"), POLICY)
+    with pytest.raises(ValueError, match="matvec-only"):
+        Solver2D(prob, "Matern52_Cos_1d",
+                 dict(base, logdet_mode="slq"), POLICY)

@@ -275,3 +275,34 @@ def test_best_params_two_gp_phase2(tmp_path):
     solver, params = load_model(d)
     np.testing.assert_allclose(rel_l2(solver, params), res.err_mean,
                                rtol=1e-8)
+
+
+def test_schedule_resume_of_completed_run(tmp_path):
+    """--resume of a finished schedule run reports the result gracefully
+    (regression: every segment skipped left last=None and crashed)."""
+    kw = dict(N_col=48, nepoch=40, Q=4, scale=float(2 * np.pi))
+    cfg = load_config("poisson_1d-single_sin", dtype="float64",
+                      dtype_schedule="float64:0.5,float64:0.5", **kw)
+    first = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                           figures=False)
+    again = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                           figures=False, resume=True)
+    assert np.isfinite(again.err_mean)
+    # the resumed report keeps the whole-run minimum
+    assert again.err_mean <= first.err_mean + 1e-12
+
+
+def test_schedule_honors_stop_epoch(tmp_path):
+    """--stop-epoch bounds a schedule run exactly like a plain run
+    (regression: the schedule branch silently dropped it)."""
+    kw = dict(N_col=48, nepoch=40, Q=4, scale=float(2 * np.pi))
+    cfg = load_config("poisson_1d-single_sin", dtype="float64",
+                      dtype_schedule="float64:0.5,float64:0.5", **kw)
+    res = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                         figures=False, stop_epoch=10)
+    r = res.fold_results[0]
+    assert r.extras["last_epoch"] <= 10
+    # and the paused run resumes to the full budget
+    done = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                          figures=False, resume=True)
+    assert done.fold_results[0].extras["last_epoch"] >= 39

@@ -245,3 +245,16 @@ def test_solver_spectral_init_config(problem_1d_factory=None):
     for tag in ("1", "2"):
         f2 = np.asarray(prm[f"kernel_paras_{tag}"]["freq"])
         assert np.min(np.abs(f2 - 100 / (2 * np.pi))) < 0.15
+
+
+def test_spectral_freqs_peakless_source_falls_back_to_linspace():
+    """A constant/zero source has no interior spectral lines; every interior
+    'peak' is window-sidelobe or roundoff noise and must be rejected (the
+    floor is relative to the full spectrum, DC included) — regression for
+    spectral init seeding near-Nyquist garbage components."""
+    from gphm_tpu.ops.kernels import spectral_freqs
+
+    x = np.linspace(0.0, 1.0, 200)
+    for vals in (np.zeros(200), np.ones(200), np.full(200, 7.25)):
+        f = np.asarray(spectral_freqs(x, vals, 8, 20.0))
+        np.testing.assert_allclose(f, np.linspace(0.0, 1.0, 8) * 20.0)

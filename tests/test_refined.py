@@ -146,3 +146,22 @@ def test_refined_policy_from_config():
     # loss is finite and wide
     loss = solver.loss(solver.init_params())
     assert loss.dtype == jnp.float64 and bool(jnp.isfinite(loss))
+
+
+def test_batched_chol_toggle_with_refined_policy():
+    """batched_chol: true must not crash under the refined tier (its PCG
+    custom VJPs are unbatched); the toggle is ignored and the two per-dim
+    factors run refined instead — regression for a trace-time batching
+    ValueError."""
+    from gphm_tpu.models.solver_2d import Solver2D
+
+    prob = make_problem("poisson_2d-sin_sin", N_col=16, scale=2 * np.pi)
+    cfg = dict(Q=2, lr=0.01, llk_weight=200.0, logdet=True, tol=-1.0,
+               freq_scale=20.0, jitter=1e-6, batched_chol=True)
+    solver = Solver2D(prob, "Matern52_Cos_1d", cfg,
+                      Policy(dtype=jnp.float32, refine_iters=2))
+    params = solver.init_params()
+    loss, grads = jax.value_and_grad(solver._loss)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.all(np.isfinite(g))
+               for g in jax.tree_util.tree_leaves(grads))

@@ -15,14 +15,19 @@ def main():
         for metrics in sorted(glob.glob(os.path.join(
                 base, "*", "*", "*", "*", "metrics_fold0.jsonl"))):
             rows = [json.loads(l) for l in open(metrics) if l.strip()]
-            if not rows:
+            # multi_start info records and diverged runs have no rel_l2 row
+            erows = [r for r in rows if "rel_l2" in r]
+            if not erows:
+                if rows:
+                    print(f"{base:24s} {metrics}: no eval rows "
+                          f"({len(rows)} records)")
                 continue
-            best = min(rows, key=lambda r: r.get("rel_l2", 2.0))
-            last = rows[-1]
+            best = min(erows, key=lambda r: r["rel_l2"])
+            last = erows[-1]
             d = os.path.dirname(metrics)
             parts = d.split(os.sep)
             print(f"{base:24s} {parts[1]:28s} {parts[2]:40s} "
-                  f"evals={len(rows):3d} last_ep={last['epoch']:>8} "
+                  f"evals={len(erows):3d} last_ep={last['epoch']:>8} "
                   f"min_relL2={best['rel_l2']:.3e} (@{best['epoch']}) "
                   f"wall={last['wall_s']:.0f}s")
 
