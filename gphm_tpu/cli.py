@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--N-col", type=int, default=None, dest="N_col")
     p.add_argument("--Q", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lr-decay", type=float, default=None, dest="lr_decay",
+                   help="cosine-decay the lr to lr*LR_DECAY over the epoch "
+                        "budget (default 1.0 = constant, the reference "
+                        "protocol); stabilizes the profiled marginal "
+                        "objective's oscillatory tail")
     p.add_argument("--dtype", default=None,
                    choices=["float32", "float64", "mixed", "refined"],
                    help="float32 = TPU production; float64 = validation; "
@@ -163,7 +168,8 @@ def main(argv=None) -> int:
     except Exception:
         pass
     overrides = dict(nepoch=args.nepoch, N_col=args.N_col, Q=args.Q,
-                     lr=args.lr, dtype=args.dtype, num_fold=args.num_fold,
+                     lr=args.lr, lr_decay=args.lr_decay,
+                     dtype=args.dtype, num_fold=args.num_fold,
                      kernel=args.kernel, change_point=args.change_point,
                      jitter=args.jitter, mesh=args.mesh,
                      dtype_schedule=args.dtype_schedule,

@@ -81,15 +81,29 @@ def eval_epochs(nepoch: int, n_evals: int = 20) -> List[int]:
                    for j in range(n_evals)})
 
 
-def freezable_adam(lr: float, freeze=None) -> optax.GradientTransformation:
-    """Adam with optional parameter freezing.
+def freezable_adam(lr: float, freeze=None, decay_steps=None,
+                   lr_floor: float = 1.0) -> optax.GradientTransformation:
+    """Adam with optional parameter freezing and optional cosine lr decay.
 
     ``freeze`` is a list of '/'-joined parameter paths (e.g.
     ["kernel_paras/freq", "log_tau"]); matching subtrees get zero updates.
     Functional replacement for the reference's dead-code ``frezze_paras``
     hook (reference: code/kernel_matrix.py:87-104), done at the optimizer
     level so the loss stays untouched.
+
+    ``decay_steps``/``lr_floor`` < 1 turn the constant lr into a cosine
+    decay to ``lr * lr_floor`` over ``decay_steps`` optimizer steps — the
+    tail-stabilization knob for the profiled marginal objective, whose
+    fixed-lr trajectories oscillate around the optimum once the evidence
+    surface sharpens (measured: single_sin rel-L2 bouncing 3e-1 <-> 6e-4
+    late in the budget at lr=0.01). The schedule keys off the optimizer's
+    own step count, so it is exact across chunked eval segments, dtype
+    schedules, and checkpoint resume. Defaults reproduce plain Adam with
+    an identical state structure.
     """
+    if decay_steps and lr_floor < 1.0:
+        lr = optax.cosine_decay_schedule(
+            init_value=lr, decay_steps=int(decay_steps), alpha=lr_floor)
     adam = optax.adam(learning_rate=lr)
     if not freeze:
         return adam

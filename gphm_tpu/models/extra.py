@@ -46,8 +46,15 @@ class Solver1DExtra(Solver1D):
         self.kernel_extra = (get_kernel(kernel_extra)
                              if isinstance(kernel_extra, str) else kernel_extra)
         from gphm_tpu.models.base import freezable_adam
+        # phase-2 optimizer: its step count restarts at the change point, so
+        # its cosine span is the phase-2 share of the budget
+        steps = config.get("lr_decay_steps")
+        if steps:
+            steps = max(1, int(round(
+                steps * (1.0 - float(config.get("change_point", 0.5))))))
         self.optimizer_extra = freezable_adam(
-            config["lr"], ["u"] if self.u_mode == "profiled" else None)
+            config["lr"], ["u"] if self.u_mode == "profiled" else None,
+            decay_steps=steps, lr_floor=config.get("lr_decay", 1.0))
 
     # ------------------------------------------------------------------
     def _factor_extra(self, kernel_paras, solve_dtype=None):

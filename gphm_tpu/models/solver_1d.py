@@ -194,7 +194,10 @@ class Solver1D:
             raise ValueError(f"unknown u_mode {self.u_mode!r}")
 
         from gphm_tpu.models.base import freezable_adam
-        self.optimizer = freezable_adam(config["lr"], freeze)
+        self.optimizer = freezable_adam(
+            config["lr"], freeze,
+            decay_steps=config.get("lr_decay_steps"),
+            lr_floor=config.get("lr_decay", 1.0))
 
         # Posterior-mean prediction solves always run in f64 when x64 is
         # live: with f32-trained kernels the predict-time K^-1 u can hit

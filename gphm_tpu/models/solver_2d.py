@@ -191,7 +191,10 @@ class Solver2D:
             raise ValueError(f"unknown u_mode {self.u_mode!r}")
 
         from gphm_tpu.models.base import freezable_adam
-        self.optimizer = freezable_adam(config["lr"], freeze)
+        self.optimizer = freezable_adam(
+            config["lr"], freeze,
+            decay_steps=config.get("lr_decay_steps"),
+            lr_floor=config.get("lr_decay", 1.0))
 
         # solve mode: "cholesky" (dense factors, exact logdet — reference
         # parity) or "cg" (Kronecker-matvec CG path for beyond-reference

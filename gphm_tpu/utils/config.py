@@ -41,6 +41,10 @@ class RunConfig:
     kernel_extra: Optional[str] = None   # set -> two-GP solver (1D only)
     Q: int = 30
     lr: float = 0.01
+    lr_decay: float = 1.0         # cosine-decay the lr to lr*lr_decay over
+                                  # the epoch budget (1.0 = constant, the
+                                  # reference protocol); stabilizes the
+                                  # profiled marginal objective's tail
     llk_weight: float = 200.0
     freq_scale: float = 20.0
     logdet: bool = True
@@ -145,7 +149,9 @@ class RunConfig:
     def solver_dict(self) -> dict:
         """The subset the solver classes consume."""
         return {
-            "Q": self.Q, "lr": self.lr, "llk_weight": self.llk_weight,
+            "Q": self.Q, "lr": self.lr, "lr_decay": self.lr_decay,
+            "lr_decay_steps": self.nepoch if self.lr_decay < 1.0 else None,
+            "llk_weight": self.llk_weight,
             "freq_scale": self.freq_scale, "logdet": self.logdet,
             "tol": self.tol, "jitter": self.jitter,
             "change_point": self.change_point, "solve": self.solve,

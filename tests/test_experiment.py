@@ -306,3 +306,37 @@ def test_schedule_honors_stop_epoch(tmp_path):
     done = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
                           figures=False, resume=True)
     assert done.fold_results[0].extras["last_epoch"] >= 39
+
+
+def test_lr_decay_schedule_values():
+    """Cosine decay keys off the optimizer's own step count: lr starts at
+    lr, ends at lr*floor."""
+    import optax
+    sched = optax.cosine_decay_schedule(0.01, 100, alpha=0.1)
+    assert abs(float(sched(0)) - 0.01) < 1e-12
+    assert abs(float(sched(100)) - 0.001) < 1e-9
+
+
+def test_lr_decay_is_exact_across_stop_resume(tmp_path):
+    """A decayed run paused with --stop-epoch and resumed matches the
+    uninterrupted run exactly (the schedule rides the checkpointed
+    optimizer count, so no lr discontinuity at the seam)."""
+    kw = dict(N_col=48, nepoch=40, Q=4, scale=float(2 * np.pi),
+              dtype="float64", lr_decay=0.1)
+    cfg = load_config("poisson_1d-single_sin", **kw)
+    ref = run_experiment(cfg, out_base=None, verbose=False, figures=False)
+    run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                   figures=False, stop_epoch=20)
+    res = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                         figures=False, resume=True)
+    # the resumed run's in-memory log holds the post-resume evals; the
+    # uninterrupted run's tail must match them exactly
+    tail = res.fold_results[0].log["err_list"]
+    np.testing.assert_allclose(
+        tail, ref.fold_results[0].log["err_list"][-len(tail):], rtol=1e-10)
+    # and the decayed run is a different trajectory from constant-lr
+    const = run_experiment(load_config("poisson_1d-single_sin",
+                                       **{**kw, "lr_decay": 1.0}),
+                           out_base=None, verbose=False, figures=False)
+    assert not np.allclose(ref.fold_results[0].log["err_list"],
+                           const.fold_results[0].log["err_list"])
