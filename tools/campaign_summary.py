@@ -1,5 +1,6 @@
 """Summarize round-2 campaign artifacts: min rel-L2 / wall per run dir."""
 
+import math
 import glob
 import json
 import os
@@ -15,8 +16,10 @@ def main():
         for metrics in sorted(glob.glob(os.path.join(
                 base, "*", "*", "*", "*", "metrics_fold0.jsonl"))):
             rows = [json.loads(l) for l in open(metrics) if l.strip()]
-            # multi_start info records and diverged runs have no rel_l2 row
-            erows = [r for r in rows if "rel_l2" in r]
+            # multi_start info records have no rel_l2; NaN evals (diverged
+            # epochs under nan_policy='warn'/rollback) would poison min()
+            erows = [r for r in rows
+                     if math.isfinite(r.get("rel_l2", float("nan")))]
             if not erows:
                 if rows:
                     print(f"{base:24s} {metrics}: no eval rows "
