@@ -42,11 +42,9 @@ seg() {
   return 1
 }
 
-# K1: x2_add_sinx headline — marginal engine, dense cadence to catch the
-# post-switch dip trough (I2: 8.1e-3 at cadence 133; CPU-f64 analog 5.0e-3)
-seg result_log_k --equation poisson_1d-x2_add_sinx --extra --quiet \
-    --u-mode profiled --dtype refined --freq-init spectral \
-    --change-point 0.5 --nepoch 20000 --n-evals 400
+# K1 (already run 06:54, result_log_k): x2_add_sinx marginal at n-evals
+# 400 bottomed at the SAME 8.11265e-3 as I2's 133-epoch cadence — the dip
+# trough is flat at this scale; cadence was not the limiter.
 
 # K2: same with the cosine lr decay (phase-2 tail descends at ~lr/10)
 seg result_log_k_decay --equation poisson_1d-x2_add_sinx --extra --quiet \
