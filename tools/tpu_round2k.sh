@@ -59,9 +59,20 @@ seg result_log_k_decay --equation poisson_1d-sin_cos --quiet \
     --u-mode profiled --dtype refined --nepoch 6000 --n-evals 30 \
     --lr-decay 0.05
 
-# K5: mix_sin marginal two-GP, dense cadence + decay
+# K5: mix_sin marginal two-GP + SPECTRAL INIT + decay. The I2 pattern:
+# the marginal (evidence) objective reached 8.1e-3 on x2_add_sinx WITH
+# spectral init but plateaued at 0.089/0.090 on mix_sin/x_time_sinx
+# WITHOUT it — evidence maximization does not pull mixture components
+# onto weak high-frequency lines (it happily explains them as residual
+# noise), but keeps components there once placed.
 seg result_log_k_decay --equation poisson_1d-mix_sin --extra --quiet \
-    --u-mode profiled --dtype refined --change-point 0.5 \
-    --nepoch 20000 --n-evals 400 --lr-decay 0.05
+    --u-mode profiled --dtype refined --freq-init spectral \
+    --change-point 0.5 --nepoch 20000 --n-evals 400 --lr-decay 0.05
+
+# K6: x_time_sinx marginal + spectral init (I2 no-spectral: 9.0e-2;
+# campaign-G MAP+spectral analog: 2.4e-3)
+seg result_log_k_decay --equation poisson_1d-x_time_sinx --quiet \
+    --u-mode profiled --dtype refined --freq-init spectral \
+    --nepoch 10000 --n-evals 50 --lr-decay 0.05
 
 echo "CAMPAIGN-K DONE $(date +%H:%M:%S)" >> "$LOG"
