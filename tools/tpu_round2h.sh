@@ -49,13 +49,9 @@ seg result_log_prof2d --equation advection-sin --quiet \
 seg result_log_prof2d --equation poisson_2d-sin_sin --quiet \
     --u-mode profiled --dtype refined --nepoch 3000 --n-evals 30
 
-# H4: sin_cos (N=400 bonus config; round-1 adam 3.0e-03 @ 2351s)
-seg result_log_prof2d --equation poisson_2d-sin_cos --quiet \
-    --u-mode profiled --dtype refined --nepoch 3000 --n-evals 30
-
-# H5: sin_sin + spectral per-axis frequency init
-seg result_log_prof2d_spec --equation poisson_2d-sin_sin --quiet \
-    --u-mode profiled --dtype refined --freq-init spectral \
-    --nepoch 3000 --n-evals 30
+# H4/H5 (sin_cos bonus config; sin_sin spectral variant) dropped:
+# the 2D profiled step measures ~1 s/epoch at this scale, and the
+# remaining TPU budget this round goes to campaigns K (marginal
+# spectral-init legs) and J (allencahn 3e6 rollback validation) instead.
 
 echo "CAMPAIGN-H DONE $(date +%H:%M:%S)" >> "$LOG"
