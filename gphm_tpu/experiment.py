@@ -200,6 +200,11 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                    resume: bool = False,
                    stop_epoch: Optional[int] = None) -> ExperimentResult:
     nepoch = nepoch or config.nepoch
+    if nepoch != config.nepoch:
+        # keep the config self-consistent with the actual budget: solver
+        # construction reads nepoch-derived values (the lr-decay cosine
+        # span via solver_dict's lr_decay_steps)
+        config = dataclasses.replace(config, nepoch=nepoch)
     solver_cfg = config
     if config.dtype_schedule:
         # the driver-level solver (resume templates, post-run prediction and
@@ -452,6 +457,8 @@ def run_sweep_experiment(config: RunConfig, freq_scales,
     from gphm_tpu.parallel.sweep import run_sweep, sweep_variants
 
     nepoch = nepoch or config.nepoch
+    if nepoch != config.nepoch:
+        config = dataclasses.replace(config, nepoch=nepoch)
     solver = make_solver(config)
     mesh = None
     if config.mesh:
