@@ -18,6 +18,13 @@ Early-stop modes reproduce each reference solver's behaviour:
   * "tol_or_count" — extra-GP: stop when i > 0 and (criterion < tol or the
                      eval error rose above the running min by > 1e-3 more than
                      7 times) (reference: code/model_GP_solver_1d_extra.py:317-322).
+                     The reference's 7 is calibrated to its hard-coded
+                     20-eval cadence (8 rising evals = 40% of the run); with a
+                     denser ``--n-evals`` the count is scaled proportionally so
+                     the patience stays a fixed fraction of the epoch budget
+                     rather than collapsing to a few hundred epochs (observed:
+                     n_evals=400 killed a two-GP run 400 epochs after its
+                     phase switch).
 """
 
 from __future__ import annotations
@@ -463,8 +470,12 @@ def chunked_train(
             if early_stop_mode == "tol":
                 stop = tol > 0 and criterion < tol
             elif early_stop_mode == "tol_or_count":
+                # cadence-invariant patience: 7 at the reference's 20-eval
+                # cadence, scaled so it always spans the same ~40% of the
+                # epoch budget (see module docstring)
+                patience = max(7, (7 * n_evals) // 20)
                 stop = i > 0 and i >= early_stop_after \
-                    and (criterion < tol or error_increase_count > 7)
+                    and (criterion < tol or error_increase_count > patience)
             if stop:
                 early_stopping = {"flag": True, "epoch": i}
                 if verbose:

@@ -347,6 +347,35 @@ def test_early_stop_after_gates_rise_counter():
         assert gated.early_stopping["epoch"] >= 21
 
 
+def test_rise_counter_patience_scales_with_eval_cadence():
+    """The reference's >7-rises stop means "40% of the 20 evals rose";
+    a dense --n-evals cadence must scale the count, not fire after a few
+    hundred epochs (observed live: n_evals=400 killed a two-GP run 400
+    epochs past its phase switch)."""
+    from gphm_tpu.models.base import TrainState, chunked_train
+
+    def make_state():
+        def run_chunk(params, opt_state, nsteps):
+            return {"x": params["x"] + nsteps}, opt_state, \
+                params["x"] * 0.0 + 1.0
+
+        return TrainState(
+            params={"x": jnp.zeros(())}, opt_state={"m": jnp.zeros(())},
+            run_chunk=run_chunk,
+            eval_fn=lambda p: p["x"] * 0.01 + 0.5,  # strictly rising
+            criterion_fn=lambda p: p["x"] * 0.0 + 1.0,
+        )
+
+    res = chunked_train(state=make_state(), nepoch=400, n_evals=200,
+                        early_stop_mode="tol_or_count", tol=-1,
+                        verbose=False)
+    assert res.early_stopping["flag"]
+    # patience = 7*200//20 = 70 rising evals (period 2) -> ~epoch 142,
+    # the same ~35-40% of the budget the reference's 20-eval cadence gives
+    assert res.early_stopping["epoch"] >= 0.3 * 400
+    assert res.early_stopping["epoch"] <= 0.6 * 400
+
+
 def test_nan_rollback_solver_end_to_end():
     """A solver driven to divergence by an absurd lr self-terminates with
     finite params instead of training through NaN to the budget end."""
