@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="refined tier: PCG iterations for the logdet "
                         "gradient (4 = ~5e-5 kernel-grad error, 0 = f32 "
                         "gradient, fastest)")
+    p.add_argument("--mean-poly", type=int, default=None, dest="mean_poly",
+                   help="polynomial trend degree (universal kriging): "
+                        "u = H beta + GP, beta fitted jointly with the "
+                        "latent (closed form in profiled mode). Fits "
+                        "smooth solution components exactly with no "
+                        "residual-noise-floor coupling (x2_add_sinx's "
+                        "parabola). Default off")
     p.add_argument("--freq-init", default=None, dest="freq_init",
                    choices=["linspace", "spectral"],
                    help="mixture frequency init: 'linspace' (reference) or "
@@ -175,6 +182,7 @@ def main(argv=None) -> int:
                      dtype_schedule=args.dtype_schedule,
                      refine_logdet_iters=args.refine_logdet_iters,
                      freq_init=args.freq_init, n_evals=args.n_evals,
+                     mean_poly=args.mean_poly,
                      multi_start=args.multi_start,
                      multi_start_frac=args.multi_start_frac,
                      u_mode=args.u_mode, nan_policy=args.nan_policy,

@@ -186,11 +186,23 @@ class Solver1DExtra(Solver1D):
                 jitter=solver.jitter, wide=solver.wide_train)
             alpha = base_params["u"].astype(K_base.dtype)
             u_base = (K_base @ alpha).astype(base_params["u"].dtype)
+            if solver.n_beta:
+                mu, _ = solver._mean_terms(base_params, u_base.dtype)
+                u_base = u_base + mu
         else:
             F = solver._factor(base_params["kernel_paras"])
-            alpha = F.solve(base_params["u"])
+            if solver.n_beta:
+                mu, _ = solver._mean_terms(base_params,
+                                           base_params["u"].dtype)
+                alpha = F.solve(base_params["u"] - mu)
+            else:
+                alpha = F.solve(base_params["u"])
             u_base = base_params["u"]
         u_xx_base = solver._u_xx(base_params["kernel_paras"], alpha)
+        if solver.n_beta:
+            # the trend's second derivative rides the frozen base lift
+            _, mxx = solver._mean_terms(base_params, u_xx_base.dtype)
+            u_xx_base = u_xx_base + mxx
         preds_base = solver._predict(base_params)
 
         loss_extra = solver.make_loss_extra(u_base, u_xx_base)

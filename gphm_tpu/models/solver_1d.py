@@ -87,6 +87,28 @@ class Solver1D:
         self.logdet_flag = float(bool(config.get("logdet", True)))
         self.eq_type = problem.eq_type
 
+        # Polynomial mean functions (universal kriging, ops/meanfn.py):
+        # u = H beta + GP. The principled replacement for the reference's
+        # two-GP smooth-residual trick on multi-scale sources — the trend
+        # is fitted jointly (profiled in closed form / trained by Adam)
+        # with no residual-noise-floor coupling. mean_poly = trend degree,
+        # -1 (default) = off.
+        self.mean_poly = int(config.get("mean_poly", -1))
+        self.n_beta = self.mean_poly + 1 if self.mean_poly >= 0 else 0
+        if self.n_beta:
+            from gphm_tpu.ops.meanfn import poly_basis
+            xc = getattr(problem, "X_col64", None)
+            xc = np.asarray(problem.X_col if xc is None else xc, np.float64)
+            xt = getattr(problem, "X_test64", None)
+            xt = np.asarray(problem.X_test if xt is None else xt, np.float64)
+            dom = (float(xc.min()), float(xc.max()))
+            H, _, Hdd = poly_basis(xc, self.mean_poly, dom)
+            Ht, _, _ = poly_basis(xt, self.mean_poly, dom)
+            # stored f64, cast at use (XLA constant-folds the casts)
+            self._H64 = jnp.asarray(H)
+            self._Hdd64 = jnp.asarray(Hdd)
+            self._H_test64 = jnp.asarray(Ht)
+
         # Profiled-latent mode (u_mode "profiled"): the MAP objective given
         # the kernel hyperparameters is quadratic in u for a linear residual
         # (Poisson) and Gauss-Newton-solvable for Allen-Cahn, so instead of
@@ -162,6 +184,13 @@ class Solver1D:
                     "u_mode='profiled' needs f64-quality solves: use "
                     "dtype 'float64' (CPU) or 'refined' (TPU)")
             freeze = list(freeze or []) + ["u"]
+            if self.n_beta:
+                if self.eq_type != "poisson_1d":
+                    raise ValueError(
+                        "mean_poly with u_mode='profiled' supports linear "
+                        "residuals only (the Gauss-Newton Allen-Cahn path "
+                        "does not carry the trend yet); use u_mode='adam'")
+                freeze = freeze + ["beta"]
             mask = np.zeros(self.N_col)
             mask[self.bc_idx] = 1.0
             self._bc_mask = jnp.asarray(
@@ -186,6 +215,11 @@ class Solver1D:
                           "log_tau": jnp.clip(params["log_tau"],
                                               -clip, clip),
                           "log_v": jnp.clip(params["log_v"], -clip, clip)}
+                if self.n_beta:
+                    ut, beta = self._u_beta_star(params)
+                    return {**params,
+                            "u": jax.lax.stop_gradient(ut),
+                            "beta": jax.lax.stop_gradient(beta)}
                 return {**params, "u": jax.lax.stop_gradient(
                     self._u_star(params))}
 
@@ -267,6 +301,30 @@ class Solver1D:
                 dphi=lambda w: 3.0 * w ** 2 - 1.0)
         return ut.astype(params["u"].dtype).reshape(params["u"].shape)
 
+    def _mean_terms(self, params, dtype):
+        """(H beta, H'' beta) at ``dtype`` — (0, 0) when the trend is off."""
+        if not self.n_beta:
+            return 0.0, 0.0
+        beta = params["beta"].astype(dtype).reshape(-1, 1)
+        return (self._H64.astype(dtype) @ beta,
+                self._Hdd64.astype(dtype) @ beta)
+
+    def _u_beta_star(self, params):
+        """Joint whitened conditional optimum (ut*, beta*) with the
+        polynomial trend (ops/profile1d.linear_ut_beta_star) — p = degree+1
+        extra columns on the same SPD system as ``_u_star``."""
+        from gphm_tpu.ops.profile1d import linear_ut_beta_star
+        tau = jnp.exp(params["log_tau"])
+        v = jnp.exp(params["log_v"])
+        K, Kd = self._K_and_Kd(params["kernel_paras"])
+        wt = self.llk_weight * tau
+        ut, beta = linear_ut_beta_star(
+            K, Kd, self._H64.astype(K.dtype), self._Hdd64.astype(K.dtype),
+            self._bc_mask, self._bc_b, self.src_loss, wt, v, self.jitter)
+        return (ut.astype(params["u"].dtype).reshape(params["u"].shape),
+                beta.astype(params["beta"].dtype).reshape(
+                    params["beta"].shape))
+
     def _u_xx(self, kernel_paras, alpha):
         K_dxx = self.axis.gram(self.kernel, kernel_paras, deriv=2,
                                wide=self.wide_train)
@@ -291,18 +349,21 @@ class Solver1D:
 
     def gaps(self, params):
         K, Kd = self._K_and_Kd(params["kernel_paras"])
+        mean_u, mean_uxx = self._mean_terms(params, K.dtype)
         if self.whitened:
             # profiled mode stores the whitened latent ut (u = K ut): the
             # lifts need no solve, and the prior quadratic u'K^-1 u becomes
             # the well-conditioned ut'K ut (ops/profile1d.py rationale)
             alpha = params["u"].astype(K.dtype)
-            u = K @ alpha
+            u = K @ alpha + mean_u
             F = self._loss_factor(K)  # log-determinant only
         else:
+            # adam mode stores the TOTAL u; the GP prior centers on the
+            # trend, so alpha = K^-1 (u - H beta)
             u = params["u"]
             F = self._loss_factor(K)
-            alpha = F.solve(u)
-        u_xx = Kd @ alpha
+            alpha = F.solve(u - mean_u if self.n_beta else u)
+        u_xx = Kd @ alpha + mean_uxx
         boundary_gap = jnp.sum(
             (u[self.bc_idx].reshape(-1) - self.bc_vals) ** 2)
         eq_gap = jnp.sum(self.residual(u, u_xx) ** 2)
@@ -310,8 +371,21 @@ class Solver1D:
 
     def _loss(self, params):
         F, alpha, u, boundary_gap, eq_gap = self.gaps(params)
+        # the GP prior quadratic is on the de-trended part: (u - H beta)'
+        # K^-1 (u - H beta) = sum((u - mean_u) * alpha) in both latent
+        # representations (whitened: u - mean_u = K ut, alpha = ut)
+        mean_u, _ = self._mean_terms(params, u.dtype) if self.n_beta \
+            else (0.0, 0.0)
         log_prior = -0.5 * F.logdet() * self.logdet_flag \
-            - 0.5 * jnp.sum(u * alpha)
+            - 0.5 * jnp.sum((u - mean_u) * alpha)
+        if self.n_beta:
+            # weak proper Gaussian prior on the trend coefficients (with
+            # its normalizer, so the marginal brute-force identity is
+            # exact; ops/profile1d.BETA_PRIOR_PREC)
+            from gphm_tpu.ops.profile1d import BETA_PRIOR_PREC as _eps
+            beta = params["beta"].astype(u.dtype)
+            log_prior = log_prior - 0.5 * _eps * jnp.sum(beta ** 2) \
+                + 0.5 * self.n_beta * np.log(_eps)
         log_boundary_ll = 0.5 * self.N_b * params["log_tau"] \
             - 0.5 * jnp.exp(params["log_tau"]) * boundary_gap
         eq_ll = 0.5 * self.N_col * params["log_v"] \
@@ -338,8 +412,11 @@ class Solver1D:
         B = Kd if self.eq_type == "poisson_1d" \
             else Kd + (3.0 * u ** 2 - 1.0) * K
         lb_marginal = 0.5 * self.N_b * jnp.log(wt) - 0.5 * wt * boundary_gap
+        H = self._H64.astype(K.dtype) if self.n_beta else None
+        Hdd = self._Hdd64.astype(K.dtype) if self.n_beta else None
         return -(log_prior + lb_marginal + eq_ll) - F.logdet() \
-            + occam_logdet(K, B, self._bc_mask, wt, v, self.jitter)
+            + occam_logdet(K, B, self._bc_mask, wt, v, self.jitter,
+                           H=H, Hdd=Hdd)
 
     def _predict(self, params, cross=None):
         """Posterior mean at test points: Kmn K^-1 u
@@ -359,8 +436,18 @@ class Solver1D:
         else:
             F = self._factor(params["kernel_paras"],
                              solve_dtype=self.eval_solve_dtype)
-            alpha = F.solve(params["u"].astype(F.L.dtype))
-        return (Kmn.astype(alpha.dtype) @ alpha).reshape(-1)
+            uu = params["u"].astype(F.L.dtype)
+            if self.n_beta:
+                # GP prior centers on the trend: solve for the GP part
+                uu = uu - self._H64.astype(uu.dtype) \
+                    @ params["beta"].astype(uu.dtype).reshape(-1, 1)
+            alpha = F.solve(uu)
+        preds = (Kmn.astype(alpha.dtype) @ alpha).reshape(-1)
+        if self.n_beta:
+            trend = self._H_test64.astype(preds.dtype) \
+                @ params["beta"].astype(preds.dtype).reshape(-1)
+            preds = preds + trend
+        return preds
 
     def _eval_err(self, params):
         preds = self._predict(params)
@@ -401,7 +488,7 @@ class Solver1D:
                 x if x is not None else np.asarray(self.X_col),
                 src if src is not None else np.asarray(self.src),
                 int(self.config["Q"]), float(self.config["freq_scale"]))
-        return {
+        params = {
             "log_tau": jnp.zeros((), d),
             "log_v": jnp.zeros((), d),
             "kernel_paras": init_mixture_params(
@@ -409,6 +496,11 @@ class Solver1D:
                 freqs=freqs),
             "u": u0,
         }
+        if self.n_beta:
+            # trend coefficients: profiled (closed form) in profiled mode,
+            # an ordinary Adam leaf otherwise
+            params["beta"] = jnp.zeros((self.n_beta, 1), ud)
+        return params
 
     def param_log(self, params):
         kp = params["kernel_paras"]

@@ -95,7 +95,82 @@ def linear_ut_star(K, Kd, bc_mask, mb, f, wt, v, jitter):
     return _spd_solve(K, wt * Kb, v, Kd, rhs, jitter, refine=False)
 
 
-def occam_logdet(K, B, bc_mask, wt, v, jitter):
+# Weak Gaussian prior precision on polynomial-trend coefficients: keeps the
+# augmented system PD when the boundary/residual blocks do not span the
+# basis, while contributing O(1e-8 ||beta||^2) to the objective — invisible
+# at any attainable accuracy.  Fixed (not configurable) so the marginal
+# objective's beta-prior normalizer is a constant across a run.
+BETA_PRIOR_PREC = 1e-8
+
+
+def _augmented_system(K, Kd, H, Hdd, bc_mask, wt, v):
+    """Blocks of the joint (ut, beta) SPD system for a linear residual.
+
+    With the polynomial trend u = K ut + H beta (ops/meanfn.py) the
+    conditional objective stays an SPD quadratic in the stacked z =
+    [ut; beta]:
+
+        S_ext = [[K + wt K M K + v Kd'Kd,   wt K M H + v Kd'Hdd     ],
+                 [      (sym)            ,  wt H'M H + v Hdd'Hdd + eI]]
+
+    where M = diag(bc_mask).  Returns (S_ext, KMH) with KMH = K M H reused
+    by callers for the rhs.
+    """
+    KM = K * bc_mask[None, :]
+    KMH = KM @ H
+    HM = H * bc_mask[:, None]
+    A11 = K + wt * (KM @ K) + v * (Kd.T @ Kd)
+    A12 = wt * KMH + v * (Kd.T @ Hdd)
+    A22 = wt * (H.T @ HM) + v * (Hdd.T @ Hdd) \
+        + BETA_PRIOR_PREC * jnp.eye(H.shape[1], dtype=K.dtype)
+    return jnp.block([[A11, A12], [A12.T, A22]]), KMH
+
+
+def _equilibrated_factor(S, jitter):
+    """Cholesky of the symmetrically equilibrated D^-1/2 S D^-1/2
+    (D = diag S), with a relative ridge that is now meaningful per-row.
+
+    The augmented trend system's blocks differ in scale by ~1e9 (the
+    ut-block carries v Kd'Kd ~ (2 pi freq_scale)^4 while the beta block is
+    O(wt)); a trace-relative ridge lands on the small block's O(1)
+    eigenvalues and biases the logdet by whole units (measured 4.5 on an
+    18-point problem).  Equilibration makes the ridge relative to each
+    row's own scale.  Returns (F, dsqrt) with S = D^1/2 Shat D^1/2.
+    """
+    n = S.shape[-1]
+    eps = float(jnp.finfo(S.dtype).eps)
+    dsq = jnp.sqrt(jnp.diagonal(S))
+    Shat = S / dsq[:, None] / dsq[None, :]
+    # dtype-aware floor ridge, then probe-chain escalation: a fixed 1e-12
+    # costs ~1e-4 in logdet against the beta prior's ~1e-8 eigenvalue on
+    # small well-posed systems, while hard configs (x2_add_sinx at
+    # freq_scale=100: cond(S) ~ cond(K)^2 > 1/eps) are numerically
+    # indefinite after equilibration (measured min eig -1.3e-14) and need
+    # ~n*eps*lambda_max — let robust_cholesky find the level only when the
+    # cheap floor fails, so exactness tests stay exact
+    Shat = Shat + (4 * eps) * jnp.eye(n, dtype=S.dtype)
+    return robust_cholesky(Shat, base_jitter=n * eps, growth=100.0,
+                           max_tries=3), dsq
+
+
+def linear_ut_beta_star(K, Kd, H, Hdd, bc_mask, mb, f, wt, v, jitter):
+    """Joint whitened conditional optimum (ut*, beta*) with a polynomial
+    trend u = K ut + H beta (universal kriging; see ops/meanfn.py).
+
+    One Cholesky of the (N+p)-dim S_ext — p = degree+1 extra columns on top
+    of ``linear_ut_star``'s system.  Returns ``(ut, beta)``.
+    """
+    n = K.shape[-1]
+    S, _ = _augmented_system(K, Kd, H, Hdd, bc_mask, wt, v)
+    rhs = jnp.concatenate(
+        [wt * (K @ mb) + v * (Kd.T @ f),
+         wt * (H.T @ mb) + v * (Hdd.T @ f)], axis=0)
+    F, dsq = _equilibrated_factor(S, jitter)
+    z = F.solve(rhs.reshape(-1) / dsq) / dsq
+    return z[:n], z[n:]
+
+
+def occam_logdet(K, B, bc_mask, wt, v, jitter, H=None, Hdd=None):
     """0.5 logdet S - logdet K: the Gaussian-integral (Occam) correction
     that turns the profiled conditional objective into the exact negative
     log MARGINAL likelihood for a linear residual (Laplace value for
@@ -117,9 +192,23 @@ def occam_logdet(K, B, bc_mask, wt, v, jitter):
     Differentiable (no envelope needed — this term does not depend on ut):
     one wide Cholesky of S, whose forward graph XLA shares (CSE) with the
     stop-gradient solve in the ``ut_star`` functions.
+
+    With a polynomial trend (``H``/``Hdd`` given, flat-to-weak beta prior)
+    the Laplace/Gaussian factor is over the stacked (ut, beta), so S is the
+    augmented S_ext of ``linear_ut_beta_star`` — the same "0.5 logdet S -
+    logdet K" identity holds because the whitening Jacobian (det K) touches
+    only the ut block.
     """
+    if H is not None:
+        # augmented blocks differ in scale by ~1e9, so a trace-relative
+        # ridge biases the beta block's logdet by whole units (measured
+        # 4.5 at N=18) — factor the equilibrated system instead:
+        # logdet S = logdet Shat + 2 sum(log dsqrt)
+        S, _ = _augmented_system(K, B, H, Hdd, bc_mask, wt, v)
+        FS, dsq = _equilibrated_factor(S, jitter)
+        return 0.5 * FS.logdet() + jnp.sum(jnp.log(dsq))
     S = K + wt * ((K * bc_mask[None, :]) @ K) + v * (B.T @ B)
-    n = K.shape[-1]
+    n = S.shape[-1]
     ridge = jnp.trace(S) / n
     Sr = S + (1e-10 * ridge) * jnp.eye(n, dtype=S.dtype)
     FS = robust_cholesky(Sr, base_jitter=jitter, max_tries=0)

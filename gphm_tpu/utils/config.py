@@ -117,6 +117,14 @@ class RunConfig:
                                   # "map": the reference's joint-MAP form,
                                   # improper in the kernel hyperparameters
                                   # once the latent is profiled
+    mean_poly: int = -1           # polynomial trend degree (universal
+                                  # kriging, ops/meanfn.py): u = H beta +
+                                  # GP with beta profiled/trained jointly.
+                                  # The principled fix for multi-scale
+                                  # sources whose smooth component sits
+                                  # below the residual noise floor
+                                  # (x2_add_sinx's parabola). -1 = off
+                                  # (the reference has no mean functions).
     multi_start: int = 1          # >1: warm up this many mixture-frequency
                                   # initializations concurrently (vmapped /
                                   # data-axis-sharded) and continue the
@@ -156,6 +164,7 @@ class RunConfig:
             "tol": self.tol, "jitter": self.jitter,
             "change_point": self.change_point, "solve": self.solve,
             "freq_init": self.freq_init, "u_mode": self.u_mode,
+            "mean_poly": self.mean_poly,
             "profile_clip": self.profile_clip,
             "profile_cg_iters": self.profile_cg_iters,
             "profile_newton_iters": self.profile_newton_iters,
