@@ -141,16 +141,23 @@ def _equilibrated_factor(S, jitter):
     eps = float(jnp.finfo(S.dtype).eps)
     dsq = jnp.sqrt(jnp.diagonal(S))
     Shat = S / dsq[:, None] / dsq[None, :]
-    # dtype-aware floor ridge, then probe-chain escalation: a fixed 1e-12
-    # costs ~1e-4 in logdet against the beta prior's ~1e-8 eigenvalue on
-    # small well-posed systems, while hard configs (x2_add_sinx at
-    # freq_scale=100: cond(S) ~ cond(K)^2 > 1/eps) are numerically
-    # indefinite after equilibration (measured min eig -1.3e-14) and need
-    # ~n*eps*lambda_max — let robust_cholesky find the level only when the
-    # cheap floor fails, so exactness tests stay exact
-    Shat = Shat + (4 * eps) * jnp.eye(n, dtype=S.dtype)
-    return robust_cholesky(Shat, base_jitter=n * eps, growth=100.0,
-                           max_tries=3), dsq
+    eye = jnp.eye(n, dtype=S.dtype)
+    # Two-attempt branch-free ridge select. A single fixed ridge cannot
+    # serve both regimes: small well-posed systems want ~eps (a 1e-11
+    # ridge biases the logdet ~1e-3 against the beta prior's ~1e-8
+    # eigenvalue), while hard configs (x2_add_sinx at freq_scale=100:
+    # cond(S) ~ cond(K)^2 > 1/eps) are numerically indefinite after
+    # equilibration (measured min eig -1.3e-14 at N=403) and need
+    # >~ n*eps*lambda_max ~ 6e-12 for the factorization to succeed. A
+    # gradient-free probe factorization at the small ridge picks the level;
+    # jnp.where (not lax.cond) keeps the graph branch-free — the blocked
+    # f64 Cholesky under a cond chain aborts this TPU backend's compiler.
+    r_small, r_big = 4 * eps, max(1e-10, 1024 * n * eps)
+    probe = robust_cholesky(jax.lax.stop_gradient(Shat) + r_small * eye,
+                            base_jitter=jitter, max_tries=0).L
+    r = jnp.where(jnp.all(jnp.isfinite(probe)), r_small, r_big)
+    return robust_cholesky(Shat + r * eye, base_jitter=jitter,
+                           max_tries=0), dsq
 
 
 def linear_ut_beta_star(K, Kd, H, Hdd, bc_mask, mb, f, wt, v, jitter):
