@@ -81,3 +81,16 @@ def test_profiling_utils():
     assert step_flops_2d(400, 400, 30) > step_flops_1d(400, 30)
     with trace(None):
         pass
+
+
+def test_load_model_roundtrip_mean_poly(tmp_path):
+    """A run with a polynomial trend round-trips: the rebuilt solver carries
+    n_beta, the checkpoint restores beta, and prediction includes the
+    trend (finite error at the run's own level)."""
+    d, cfg = _run(tmp_path, "poisson_1d-single_sin", nepoch=40, N_col=48,
+                  Q=6, mean_poly=2, u_mode="profiled")
+    solver, params = load_model(d)
+    assert solver.n_beta == 3
+    assert params["beta"].shape == (3, 1)
+    assert np.isfinite(rel_l2(solver, params))
+    assert predict(solver, params).shape == (300,)
