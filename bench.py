@@ -43,7 +43,10 @@ def main():
 
     log("backend:", jax.default_backend(), jax.devices()[0])
 
-    cfg = load_config("poisson_1d-single_sin", dtype="float32")
+    # the bench measures the reference-protocol production step (adam, f32):
+    # the shipped YAML default is the profiled headline protocol (round 3)
+    cfg = load_config("poisson_1d-single_sin", dtype="float32",
+                      reference_protocol=True)
     solver = make_solver(cfg)
 
     params = solver.init_params()
@@ -58,20 +61,55 @@ def main():
     err100 = float(solver.eval_err(params))
     log(f"rel-L2 @ 100 epochs: {err100:.4f} (reference smoke: 0.2756)")
 
+    # Steady-state over 1000-epoch chunks: production runs dispatch
+    # nepoch/20-epoch scans (5000 at the shipped budget), so per-dispatch
+    # host->device latency (~25 ms through this backend's tunnel — 0.25
+    # ms/epoch at chunk=100, a 20% distortion) is not part of the real
+    # per-epoch cost. chunk=1000 bounds the distortion at 2%.
+    params, opt_state, loss = run_chunk(params, opt_state, 1000)  # compile
+    jax.block_until_ready(loss)
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        params, opt_state, loss = run_chunk(params, opt_state, 100)
+        params, opt_state, loss = run_chunk(params, opt_state, 1000)
         jax.block_until_ready(loss)
-        best = min(best, (time.time() - t0) / 100 * 1000)
+        best = min(best, (time.time() - t0) / 1000 * 1000)
     ms_per_epoch = best
     log(f"steady-state: {ms_per_epoch:.3f} ms/epoch "
-        f"({1000 / ms_per_epoch:.0f} epochs/s)")
+        f"({1000 / ms_per_epoch:.0f} epochs/s; 1000-epoch chunks)")
 
     from gphm_tpu.utils.profiling import step_flops_1d
     fl = step_flops_1d(cfg.N_col, cfg.Q) * 3  # fwd + ~2x reverse mode
     log(f"approx Gram+Cholesky pipeline: "
         f"{fl / (ms_per_epoch * 1e-3) / 1e12:.3f} TFLOP/s sustained")
+
+    # time-to-tolerance on the headline config (BASELINE.md rebuild target
+    # "time-to-L2<1e-2"): fresh run, chunked evals, wall-clock at first
+    # crossing. The chunk program is already compiled above.
+    try:
+        t2p = solver.init_params()
+        t2o = solver.optimizer.init(t2p)
+        cap, chunk, t_cross, e_cross, walls = 60000, 2000, None, None, 0.0
+        for done in range(0, cap, chunk):
+            t0 = time.time()
+            t2p, t2o, t2l = run_chunk(t2p, t2o, chunk)
+            jax.block_until_ready(t2l)
+            walls += time.time() - t0
+            if float(solver.eval_err(t2p)) < 1e-2:
+                t_cross, e_cross = walls, done + chunk
+                break
+        if t_cross is None:
+            log(f"time-to-1e-2: not reached within {cap} epochs "
+                f"({walls:.1f}s)")
+        else:
+            # reference CPU extrapolation: its measured 50 ms/epoch on this
+            # exact config (smoke log) x the same epoch count
+            ref_s = e_cross * REF_MS_PER_EPOCH_1D / 1000
+            log(f"time-to-1e-2 (1D single_sin, adam f32): {t_cross:.1f}s "
+                f"at epoch <= {e_cross} (reference CPU extrapolation "
+                f"{ref_s:.0f}s -> {ref_s / t_cross:.0f}x)")
+    except Exception as e:
+        log("time-to-tolerance failed:", e)
 
     # 2D diagnostic (smaller epoch count; reference smoke 90.6 ms/epoch)
     try:
@@ -80,12 +118,12 @@ def main():
         p2 = solver2.init_params()
         o2 = solver2.optimizer.init(p2)
         rc2 = make_chunk_runner(solver2._loss, solver2.optimizer)
-        p2, o2, l2 = rc2(p2, o2, 100)   # compile the same program as timed
+        p2, o2, l2 = rc2(p2, o2, 500)   # compile the same program as timed
         jax.block_until_ready(l2)
         t0 = time.time()
-        p2, o2, l2 = rc2(p2, o2, 100)
+        p2, o2, l2 = rc2(p2, o2, 500)
         jax.block_until_ready(l2)
-        ms2 = (time.time() - t0) / 100 * 1000
+        ms2 = (time.time() - t0) / 500 * 1000
         log(f"2D N=400: {ms2:.3f} ms/epoch "
             f"(ref {REF_MS_PER_EPOCH_2D:.1f}; speedup "
             f"{REF_MS_PER_EPOCH_2D / ms2:.1f}x)")
@@ -110,21 +148,31 @@ def main():
         pb = big.init_params()
         ob = big.optimizer.init(pb)
         rcb = make_chunk_runner(big._loss, big.optimizer)
-        pb, ob, lb = rcb(pb, ob, 50)
+        pb, ob, lb = rcb(pb, ob, 200)
         jax.block_until_ready(lb)
         t0 = time.time()
-        pb, ob, lb = rcb(pb, ob, 50)
+        pb, ob, lb = rcb(pb, ob, 200)
         jax.block_until_ready(lb)
-        ms512 = (time.time() - t0) / 50 * 1000
+        ms512 = (time.time() - t0) / 200 * 1000
         fl512 = step_flops_2d(N, N, 30) * 3  # fwd + ~2x reverse
         tflops = fl512 / (ms512 * 1e-3) / 1e12
         # TPU v5e peak: 197 TFLOP/s bf16; f32-highest runs multi-pass bf16,
         # so MFU is quoted against the bf16 peak (conservative)
         log(f"512^2 dense Kronecker: {ms512:.3f} ms/epoch, "
             f"{tflops:.2f} TFLOP/s sustained, MFU {tflops / 197 * 100:.1f}% "
-            f"(vs 197 TFLOP/s bf16 peak)")
+            f"(vs 197 TFLOP/s bf16 peak; see roofline below — the MXU peak "
+            f"is not this step's ceiling)")
     except Exception as e:
         log("512^2 bench failed:", e)
+
+    # per-phase roofline of the 512^2 step vs measured unit ceilings
+    # (round-3 VERDICT #7): which unit actually binds
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.roofline_2d import roofline
+        roofline(512, log=log)
+    except Exception as e:
+        log("roofline failed:", e)
 
     # DP-sweep throughput: 8 freq_scale variants trained concurrently
     # through the vmapped/sharded sweep path (parallel/sweep.py)

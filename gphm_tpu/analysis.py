@@ -39,6 +39,17 @@ def load_model(directory: str, prefer_best: bool = True) \
     meta = load_meta(path)["meta"]
     config = RunConfig(**{k: v for k, v in meta.items()
                           if k in RunConfig.__dataclass_fields__})
+    if config.dtype_schedule:
+        # scheduled runs end (and evaluate) at the final segment's tier —
+        # mirror run_experiment's solver_cfg rule so post-hoc prediction
+        # matches the run's own reported error exactly
+        import dataclasses
+
+        from gphm_tpu.experiment import parse_schedule
+        config = dataclasses.replace(
+            config,
+            dtype=parse_schedule(config.dtype_schedule, config.nepoch)[-1][0],
+            dtype_schedule="")
     solver = make_solver(config)
     if config.family == "1d_extra":
         # phase-2 checkpoints hold the extra-GP params; the base params are
@@ -76,10 +87,20 @@ def rel_l2(solver, params) -> float:
     return float(np.linalg.norm(p - t) / np.linalg.norm(t))
 
 
-def compare_runs(directories, out_path: Optional[str] = None):
+def compare_runs(directories, out_path: Optional[str] = None,
+                 extra_preds: Optional[dict] = None):
     """Shared-scale absolute-error panels across runs (the reference's
     visualization_2d_err_sum notebook behaviour, including its nan_to_num
-    guard for diverged advection predictions)."""
+    guard for diverged advection predictions).
+
+    ``extra_preds`` overlays EXTERNAL methods' predictions alongside the
+    runs — the reference's 1D notebook does this with RFF-PINN predictions
+    loaded from a pickle it does not ship
+    (reference: code/visulization/visualization_1d_pred_sum.ipynb, loading
+    ``FINALPREDS-1.pkl``). Keys are panel labels, values are prediction
+    arrays on the SAME test grid as the runs (shape-checked); each gets its
+    own panel, scored against the first run's truth.
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -91,6 +112,14 @@ def compare_runs(directories, out_path: Optional[str] = None):
         truth = np.asarray(solver.u_test)
         entries.append((os.path.basename(os.path.dirname(
             os.path.dirname(d))), solver, pred, truth))
+    for name, pred in (extra_preds or {}).items():
+        ref_solver, ref_truth = entries[0][1], entries[0][3]
+        pred = np.nan_to_num(np.asarray(pred))
+        if pred.shape != ref_truth.shape:
+            raise ValueError(
+                f"extra_preds[{name!r}] shape {pred.shape} does not match "
+                f"the runs' test grid {ref_truth.shape}")
+        entries.append((name, ref_solver, pred, ref_truth))
 
     n = len(entries)
     is_2d = entries[0][3].ndim == 2

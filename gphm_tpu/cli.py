@@ -126,6 +126,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fraction of the budget spent on the multi-start "
                         "warmup (default 0.01; two-GP runs need it at or "
                         "before the change point)")
+    p.add_argument("--reference-protocol", action="store_true",
+                   dest="reference_protocol",
+                   help="run the faithful reference protocol (Adam on the "
+                        "joint MAP, linspace frequency init, no trend/decay"
+                        "/multi-start, reference epoch budgets and jitter) "
+                        "at the TPU float32 production tier, instead of the "
+                        "shipped campaign-proven headline protocol encoded "
+                        "in the YAML (add --dtype float64 on CPU for "
+                        "bit-level reference validation)")
     p.add_argument("--num-fold", type=int, default=None, dest="num_fold")
     p.add_argument("--mesh", default=None,
                    help="device mesh 'DPxTP' (e.g. 1x8, 2x4): training, "
@@ -189,6 +198,8 @@ def main(argv=None) -> int:
                      profile_cg_iters=args.profile_cg_iters,
                      profile_objective=args.profile_objective,
                      profile_newton_iters=args.profile_newton_iters)
+    if args.reference_protocol:
+        overrides["reference_protocol"] = True
     if args.extra:
         if args.equation not in EQUATIONS_1D:
             print("--extra is only supported for 1D equations",

@@ -72,10 +72,8 @@ def make_solver(config: RunConfig, policy: Optional[Policy] = None):
         return Solver1DExtra(prob, config.kernel, sd, policy,
                              kernel_extra=config.kernel_extra)
     if fam in ("2d", "advection"):
-        if config.mean_poly >= 0:
-            raise ValueError(
-                "mean_poly is a 1D-solver feature (Solver1D/Solver1DExtra);"
-                " the 2D/advection solvers do not carry a trend yet")
+        # mean_poly rides the adam path in 2D (separable tensor-product
+        # trend, Solver2D); the 2D profiled engine rejects it itself
         return Solver2D(prob, config.kernel, sd, policy)
     raise KeyError(fam)
 

@@ -71,8 +71,8 @@ class Solver1D:
         # Gram builders own the difference representation: Toeplitz lags on
         # uniform grids (O(NQ) kernel evals — all shipped configs), two-float
         # lags for exact-phase f32 training, f64 lags for honest evals.
-        from gphm_tpu.ops.gram import AxisGram, CrossGram
-        phase_exact = bool(config.get("phase_exact", True))
+        from gphm_tpu.ops.gram import AxisGram, CrossGram, resolve_phase_exact
+        phase_exact = resolve_phase_exact(config.get("phase_exact", "auto"))
         self.axis = AxisGram(
             self.X_col, p.dtype, x64=getattr(problem, "X_col64", None),
             toeplitz=config.get("toeplitz", "auto"), phase_exact=phase_exact)
@@ -102,6 +102,18 @@ class Solver1D:
             xt = getattr(problem, "X_test64", None)
             xt = np.asarray(problem.X_test if xt is None else xt, np.float64)
             dom = (float(xc.min()), float(xc.max()))
+            # the test grid shares the collocation-domain affine map (both
+            # grids MUST use one map); monomials extrapolate as |t|^degree
+            # outside it, so warn when X_test leaves the collocation hull
+            # by more than 5% of its width (advisor round-2 finding)
+            margin = 0.05 * (dom[1] - dom[0])
+            if xt.min() < dom[0] - margin or xt.max() > dom[1] + margin:
+                import warnings
+                warnings.warn(
+                    f"mean_poly: X_test [{xt.min():.4g}, {xt.max():.4g}] "
+                    f"extends beyond the collocation hull [{dom[0]:.4g}, "
+                    f"{dom[1]:.4g}]; the degree-{self.mean_poly} trend "
+                    f"extrapolates there and its conditioning degrades")
             H, _, Hdd = poly_basis(xc, self.mean_poly, dom)
             Ht, _, _ = poly_basis(xt, self.mean_poly, dom)
             # stored f64, cast at use (XLA constant-folds the casts)

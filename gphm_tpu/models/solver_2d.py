@@ -76,9 +76,9 @@ class Solver2D:
         # Per-dimension Gram builders: Toeplitz lags on uniform grids,
         # two-float lags for exact-phase f32 training, f64 lags for honest
         # evals (see ops/gram.AxisGram and Solver1D)
-        from gphm_tpu.ops.gram import AxisGram, CrossGram
+        from gphm_tpu.ops.gram import AxisGram, CrossGram, resolve_phase_exact
         use_toe = config.get("toeplitz", "auto")
-        phase_exact = bool(config.get("phase_exact", True))
+        phase_exact = resolve_phase_exact(config.get("phase_exact", "auto"))
         self.axis1 = AxisGram(
             self.x_col, p.dtype, x64=getattr(problem, "x_col64", None),
             toeplitz=use_toe, phase_exact=phase_exact)
@@ -101,6 +101,43 @@ class Solver2D:
         self.eq_type = problem.eq_type
         # advection uses first-derivative cross-covariances, Poisson/AC second
         self.deriv_order = 1 if self.eq_type == "advection" else 2
+
+        # Separable polynomial mean function (round-3 VERDICT #8): the 2D
+        # analog of the 1D universal-kriging trend (ops/meanfn.py) is the
+        # tensor-product basis U = H1 B H2' + GP with B a (p, p) coefficient
+        # grid — it rides the same Kronecker lifts (every trend operation is
+        # an (N, p) x (p, p) x (p, N) matmul chain) and targets the same
+        # smooth-mode-below-the-noise-floor mechanism that bound x2_add_sinx
+        # (allencahn_2d / sin_add_cos carry low-frequency components under
+        # their high-frequency lines). Trained by Adam alongside the latent
+        # (the 2D profiled engine does not carry the trend yet; see
+        # experiment.make_solver guard). The GP prior centers on the trend:
+        # quad/prior terms apply to U - H1 B H2'.
+        self.mean_poly = int(config.get("mean_poly", -1))
+        self.n_beta = self.mean_poly + 1 if self.mean_poly >= 0 else 0
+        if self.n_beta:
+            if str(config.get("u_mode", "adam")) != "adam":
+                raise ValueError(
+                    "mean_poly in Solver2D supports u_mode='adam' only "
+                    "(the 2D profiled CG system does not carry the trend "
+                    "yet)")
+            from gphm_tpu.ops.meanfn import poly_basis
+            xs, dom, bases = [], [], []
+            for axis_x, axis_t in (("x_col64", "x_test64"),
+                                   ("y_col64", "y_test64")):
+                xc = getattr(problem, axis_x, None)
+                xc = np.asarray(getattr(problem, axis_x.replace("64", ""))
+                                if xc is None else xc, np.float64)
+                xt = getattr(problem, axis_t, None)
+                xt = np.asarray(getattr(problem, axis_t.replace("64", ""))
+                                if xt is None else xt, np.float64)
+                d = (float(xc.min()), float(xc.max()))
+                H, Hd, Hdd = poly_basis(xc, self.mean_poly, d)
+                Ht, _, _ = poly_basis(xt, self.mean_poly, d)
+                bases.append((jnp.asarray(H), jnp.asarray(Hd),
+                              jnp.asarray(Hdd), jnp.asarray(Ht)))
+            (self._H1, self._H1d, self._H1dd, self._H1t), \
+                (self._H2, self._H2d, self._H2dd, self._H2t) = bases
 
         # Profiled-latent mode (u_mode "profiled"): the 2D MAP objective is
         # quadratic in the grid latent U for a linear residual, so each step
@@ -375,6 +412,23 @@ class Solver2D:
             U, V, lin = U + eta * dU, V + eta * dV, lin + eta * dlin
         return V.astype(params["U"].dtype)
 
+    def _trend_terms(self, params, dtype):
+        """(T, T_dx, T_dy) of the separable trend H1 B H2' at ``dtype`` —
+        derivative order matches the PDE operator (advection: first).
+        (0, 0, 0) when the trend is off."""
+        if not self.n_beta:
+            return 0.0, 0.0, 0.0
+        B = params["beta"].astype(dtype)
+        H2t_ = self._H2.astype(dtype).T
+        if self.deriv_order == 2:
+            Dx, Dy = self._H1dd, self._H2dd
+        else:
+            Dx, Dy = self._H1d, self._H2d
+        T = self._H1.astype(dtype) @ B @ H2t_
+        T_dx = Dx.astype(dtype) @ B @ H2t_
+        T_dy = self._H1.astype(dtype) @ B @ Dy.astype(dtype).T
+        return T, T_dx, T_dy
+
     def lifts(self, params):
         """Per-dimension solves and derivative lifts of U.
 
@@ -400,6 +454,13 @@ class Solver2D:
                 ld2 = robust_cholesky(K2, max_tries=0).logdet()
             return ld1, ld2, VK2, P1.T, U_dx, U_dy, U
         U = params["U"]
+        # adam mode stores the TOTAL U; the GP prior centers on the trend,
+        # so the per-dimension solves and GP derivative lifts act on
+        # G = U - H1 B H2', and the analytic trend derivatives are added
+        # back to the lifts (matching the 1D semantics, Solver1D.gaps)
+        T, T_dx, T_dy = self._trend_terms(params, U.dtype) if self.n_beta \
+            else (0.0, 0.0, 0.0)
+        U = U - T if self.n_beta else U
         if self.N1 == self.N2 and self.solve_mode == "cholesky" \
                 and self.config.get("batched_chol", False) \
                 and not getattr(self, "_wide_exact", False) \
@@ -420,9 +481,11 @@ class Solver2D:
         else:
             K1inv_U, ld1 = self._loss_solve(K1, U)
             K2inv_Ut, ld2 = self._loss_solve(K2, U.T)
-        U_dx = Kd1 @ K1inv_U            # U_xx (or U_x for advection)
-        U_dy = (Kd2 @ K2inv_Ut).T       # U_yy (or U_y)
-        return ld1, ld2, K1inv_U, K2inv_Ut, U_dx, U_dy, U
+        # GP lifts on the de-trended part + analytic trend derivatives;
+        # the returned U is the TOTAL (boundary/residual act on it)
+        U_dx = Kd1 @ K1inv_U + T_dx     # U_xx (or U_x for advection)
+        U_dy = (Kd2 @ K2inv_Ut).T + T_dy  # U_yy (or U_y)
+        return ld1, ld2, K1inv_U, K2inv_Ut, U_dx, U_dy, params["U"]
 
     def residual(self, U, U_dx, U_dy):
         if self.eq_type == "poisson_2d":
@@ -458,6 +521,14 @@ class Solver2D:
             log_prior = -0.5 * self.N2 * ld1 * self.logdet_flag \
                 - 0.5 * self.N1 * ld2 * self.logdet_flag \
                 - 0.5 * jnp.sum(K1inv_U * K2inv_Ut.T)
+        if self.n_beta:
+            # weak proper Gaussian prior on the trend coefficients with its
+            # normalizer (same convention as Solver1D / the 1D brute-force
+            # marginal identity)
+            from gphm_tpu.ops.profile1d import BETA_PRIOR_PREC as _eps
+            beta = params["beta"].astype(U.dtype)
+            log_prior = log_prior - 0.5 * _eps * jnp.sum(beta ** 2) \
+                + 0.5 * beta.size * np.log(_eps)
         log_boundary_ll = 0.5 * self.Nb * params["log_tau"] \
             - 0.5 * jnp.exp(params["log_tau"]) * boundary_gap
         eq_ll = 0.5 * self.Nc * params["log_v"] \
@@ -502,15 +573,26 @@ class Solver2D:
         K1 = self.axis1.gram(self.kernel, kp1, jitter=self.jitter, wide=wide)
         if sd is not None:
             K1 = K1.astype(sd)
+        UU = params["U"].astype(K1.dtype)
+        if self.n_beta:
+            # GP prior centers on the trend: posterior-mean solves act on
+            # the de-trended part; the trend re-enters on the test grid
+            B = params["beta"].astype(K1.dtype)
+            UU = UU - self._H1.astype(K1.dtype) @ B \
+                @ self._H2.astype(K1.dtype).T
         Kmn1 = self.cross1.eval(self.kernel, kp1, wide=wide)
-        M1 = Kmn1.astype(K1.dtype) \
-            @ self._psd_solve(K1, params["U"].astype(K1.dtype))[0]
+        M1 = Kmn1.astype(K1.dtype) @ self._psd_solve(K1, UU)[0]
         K2 = self.axis2.gram(self.kernel, kp2, jitter=self.jitter, wide=wide)
         if sd is not None:
             K2 = K2.astype(sd)
         Kmn2 = self.cross2.eval(self.kernel, kp2, wide=wide)
         M2 = self._psd_solve(K2, M1.T.astype(K2.dtype))[0]
-        return (Kmn2.astype(M2.dtype) @ M2).T
+        preds = (Kmn2.astype(M2.dtype) @ M2).T
+        if self.n_beta:
+            B = params["beta"].astype(preds.dtype)
+            preds = preds + self._H1t.astype(preds.dtype) @ B \
+                @ self._H2t.astype(preds.dtype).T
+        return preds
 
     def _eval_err(self, params):
         diff = self._predict(params).reshape(-1) - self.u_test.reshape(-1)
@@ -546,13 +628,17 @@ class Solver2D:
         # (same rationale as Solver1D.init_params)
         ud = jnp.float64 if (self.u_mode == "profiled"
                              and self.wide_train) else d
-        return {
+        params = {
             "log_tau": jnp.zeros((), d),
             "log_v": jnp.zeros((), d),
             "kernel_paras_1": init_mixture_params(Q, fs, d, freqs=freqs1),
             "kernel_paras_2": init_mixture_params(Q, fs, d, freqs=freqs2),
             "U": jnp.zeros((self.N1, self.N2), ud),
         }
+        if self.n_beta:
+            # separable trend coefficient grid, an ordinary Adam leaf
+            params["beta"] = jnp.zeros((self.n_beta, self.n_beta), ud)
+        return params
 
     def param_log(self, params):
         out = {}

@@ -17,6 +17,35 @@ from gphm_tpu.ops import df32
 from gphm_tpu.ops.kernels import StationaryKernel
 
 
+def resolve_phase_exact(spec) -> bool:
+    """Resolve the ``phase_exact`` config knob ('on'/'off'/'auto' or bool).
+
+    Auto resolves to **off** (round 3). Rationale, measured on TPU v5e
+    (tools/profile_numerics.py): the two-float compensated phase costs ~17%
+    of the f32 training step (the round-2 bench regression, 1.28 -> 1.50
+    ms/epoch at N=400/Q=30), while plain-f32 runs are *solve*-limited, not
+    phase-limited — the f32 factorization error at the shipped conditioning
+    (cond(K) ~ 1/jitter ~ 1e6, relative solve error O(cond * eps) ~ 6e-2)
+    exceeds the worst-case phase error (|2 pi f tau| * eps ~ 1e-4 across
+    every shipped config) by orders of magnitude; the round-1 full-budget
+    f32 floors (5-8e-5 on the 1e5-epoch 1D configs) were reached with plain
+    f32 phases. Every accuracy-critical tier (refined / mixed / float64)
+    builds its training Grams at the wide f64 tier where the phase is exact
+    regardless of this knob. 'on' remains available for plain-f32 runs of
+    extreme-phase problems.
+    """
+    if isinstance(spec, str):
+        s = spec.lower()
+        if s in ("on", "true", "1"):
+            return True
+        if s in ("off", "false", "0"):
+            return False
+        if s == "auto":
+            return False
+        raise ValueError(f"phase_exact must be 'on'/'off'/'auto', got {spec!r}")
+    return bool(spec)
+
+
 def _tau(x1, x2):
     x1 = jnp.asarray(x1).reshape(-1)
     x2 = jnp.asarray(x2).reshape(-1)

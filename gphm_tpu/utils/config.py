@@ -136,6 +136,18 @@ class RunConfig:
                                   # fraction of the budget spent warming up
                                   # the starts (two-GP runs: must end at or
                                   # before the change point)
+    phase_exact: str = "auto"     # two-float compensated trig phase for the
+                                  # f32 training-tier Grams (ops/df32.py):
+                                  # "on" / "off" / "auto". Auto resolves to
+                                  # OFF for plain-f32 training: the measured
+                                  # f32 solve floor (cond(K) ~ 1/jitter)
+                                  # dominates the ~|2 pi f tau| * eps(f32)
+                                  # phase error on every shipped config, and
+                                  # the accuracy tiers (refined/mixed/f64)
+                                  # build wide f64 Grams where the phase is
+                                  # exact anyway — so the ~17% step cost
+                                  # (round-2 bench regression) buys nothing
+                                  # (tools/profile_numerics.py, round 3)
     mesh: str = ""                # "DPxTP" device mesh ('1x8', '2x4'):
                                   # latent grid sharded on the model axis,
                                   # data axis for concurrent sweeps
@@ -164,12 +176,30 @@ class RunConfig:
             "tol": self.tol, "jitter": self.jitter,
             "change_point": self.change_point, "solve": self.solve,
             "freq_init": self.freq_init, "u_mode": self.u_mode,
+            "phase_exact": self.phase_exact,
             "mean_poly": self.mean_poly,
             "profile_clip": self.profile_clip,
             "profile_cg_iters": self.profile_cg_iters,
             "profile_newton_iters": self.profile_newton_iters,
             "profile_objective": self.profile_objective,
         }
+
+
+#: Field resets applied by ``reference_protocol=True`` (the CLI's
+#: --reference-protocol): every TPU-native extension returns to the
+#: reference's protocol semantics, so the run is the faithful reference
+#: algorithm (Adam on the joint MAP, linspace frequency init, no trend, no
+#: decay, blind-through-NaN) at the TPU production precision tier. The
+#: shipped YAML values themselves encode the campaign-proven *headline*
+#: protocols instead (PARITY.md "shipped default" column); per-config
+#: reference values that the shipped defaults changed (epoch budgets,
+#: jitter) live in each YAML's ``reference_overrides`` block and are
+#: re-applied on top of this reset.
+REFERENCE_RESET = dict(
+    u_mode="adam", freq_init="linspace", mean_poly=-1, lr_decay=1.0,
+    multi_start=1, dtype_schedule="", n_evals=20, phase_exact="auto",
+    nan_policy="warn", dtype="float32", profile_objective="marginal",
+)
 
 
 def _resolve_scale(raw) -> float:
@@ -181,12 +211,24 @@ def _resolve_scale(raw) -> float:
 
 
 def load_config(equation: str, **overrides) -> RunConfig:
-    """Load configs/<equation>.yaml and apply CLI-style overrides."""
+    """Load configs/<equation>.yaml and apply CLI-style overrides.
+
+    ``reference_protocol=True`` strips the shipped (headline) protocol back
+    to the faithful reference protocol: the ``REFERENCE_RESET`` field reset,
+    then the YAML's ``reference_overrides`` block (per-config reference
+    values — epoch budgets, jitter — that the shipped defaults changed).
+    Explicit keyword overrides apply last in both modes.
+    """
     path = overrides.pop("config_path", None) \
         or os.path.join(CONFIG_DIR, f"{equation}.yaml")
+    reference_protocol = bool(overrides.pop("reference_protocol", False))
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
     raw.pop("num_u_trick", None)       # always 1 in the reference; dead
+    ref_over = raw.pop("reference_overrides", None) or {}
+    if reference_protocol:
+        raw.update(REFERENCE_RESET)
+        raw.update(ref_over)
     raw["scale"] = _resolve_scale(raw.get("scale", 1.0))
     raw["equation"] = equation
     raw.update({k: v for k, v in overrides.items() if v is not None})

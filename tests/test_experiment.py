@@ -37,7 +37,10 @@ def test_load_all_reference_configs():
                               beta=200, nepoch=200000),
     }
     for eq, fields in expect.items():
-        cfg = load_config(eq)
+        # reference_protocol: the shipped YAML defaults are the headline
+        # protocols (round 3) — reference values live behind the reset +
+        # per-config reference_overrides
+        cfg = load_config(eq, reference_protocol=True)
         assert cfg.Q == 30 and cfg.lr == 0.01 and cfg.num_fold == 1
         assert cfg.tol == -1
         for k, v in fields.items():
@@ -170,7 +173,8 @@ def test_schedule_segments_are_lossless(tmp_path):
 def test_schedule_f32_to_refined_improves_floor():
     """The product scenario in miniature: an f32 bulk + refined tail ends at
     the refined tier and its evals run there (finite, not worse than f32)."""
-    kw = dict(N_col=48, nepoch=40, Q=4, scale=float(2 * np.pi))
+    kw = dict(N_col=48, nepoch=40, Q=4, scale=float(2 * np.pi),
+              u_mode="adam", lr_decay=1.0)  # schedules are an adam feature
     res = run_experiment(
         load_config("poisson_1d-single_sin", dtype_schedule="float32:0.5,refined:0.5", **kw),
         out_base=None, verbose=False, figures=False)
@@ -250,6 +254,7 @@ def test_best_params_tracked_across_schedule_segments(tmp_path):
     from gphm_tpu.analysis import load_model, rel_l2
 
     cfg = load_config("poisson_1d-single_sin", N_col=48, nepoch=40, Q=6,
+                      u_mode="adam", lr_decay=1.0,
                       dtype_schedule="float64:0.5,float64:0.5")
     res = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
                          figures=False)

@@ -175,10 +175,12 @@ def test_mixed_precision_policy():
     full-f64 value even when plain f32 drifts."""
     from gphm_tpu.experiment import make_solver
 
+    # u_mode adam: this test exercises the precision policy, not the shipped
+    # (profiled) protocol — mixed mode is an adam-tier feature
     cfg64 = load_config("poisson_1d-single_sin", dtype="float64", N_col=48,
-                        Q=4)
+                        Q=4, u_mode="adam")
     cfgmx = load_config("poisson_1d-single_sin", dtype="mixed", N_col=48,
-                        Q=4)
+                        Q=4, u_mode="adam")
     s64 = make_solver(cfg64)
     smx = make_solver(cfgmx)
     assert smx.policy.dtype == jnp.float32
@@ -199,9 +201,9 @@ def test_f32_eval_matches_f64_eval():
     from gphm_tpu.experiment import make_solver
 
     cfg32 = load_config("poisson_1d-single_sin", dtype="float32", N_col=48,
-                        Q=4)
+                        Q=4, u_mode="adam")
     cfg64 = load_config("poisson_1d-single_sin", dtype="float64", N_col=48,
-                        Q=4)
+                        Q=4, u_mode="adam")
     s32, s64 = make_solver(cfg32), make_solver(cfg64)
     assert s32.eval_solve_dtype == jnp.float64
     p64 = s64.init_params()
