@@ -617,12 +617,26 @@ class Solver2D:
             src = getattr(self.problem, "src64", None)
             src = np.asarray(src if src is not None else self.src)
             x1 = getattr(self.problem, "x_col64", None)
+            x1 = x1 if x1 is not None else np.asarray(self.x_col)
             x2 = getattr(self.problem, "y_col64", None)
-            freqs1 = spectral_freqs(
-                x1 if x1 is not None else np.asarray(self.x_col), src, Q, fs)
-            freqs2 = spectral_freqs(
-                x2 if x2 is not None else np.asarray(self.y_col), src.T, Q,
-                fs)
+            x2 = x2 if x2 is not None else np.asarray(self.y_col)
+            sig1, sig2 = src, src.T
+            if np.max(np.abs(src)) <= 1e-12 * max(1.0, float(
+                    np.max(np.abs(np.asarray(self.bc_vals))))):
+                # Homogeneous-source PDEs (advection: beta u_x + u_y = 0,
+                # reference: code/model_GP_solver_advection.py:354-362)
+                # have no source spectrum to read — but the boundary EDGES
+                # are known data carrying each axis's spectrum directly:
+                # u(x, y0) over the x grid and u(x0, y) over the y grid
+                # (for u = sin(x - beta y), the y edge shows the
+                # beta-scaled line at beta/2pi cycles/unit exactly).
+                # Boundary block layout: [U[0,:], U[-1,:], U[:,0], U[:,-1]]
+                # (code/model_GP_solver_2d.py:127).
+                bc = np.asarray(self.bc_vals, np.float64)
+                sig1 = bc[2 * self.N2:2 * self.N2 + self.N1]   # u(x, y0)
+                sig2 = bc[:self.N2]                            # u(x0, y)
+            freqs1 = spectral_freqs(x1, sig1, Q, fs)
+            freqs2 = spectral_freqs(x2, sig2, Q, fs)
         # profiled mode: the "U" leaf carries the whitened optimum V,
         # consumed by the loss through K1 V K2 — it stays at the wide tier
         # (same rationale as Solver1D.init_params)

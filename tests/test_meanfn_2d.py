@@ -166,3 +166,26 @@ def test_profiled_2d_rejects_trend():
         Solver2D(prob, "Matern52_Cos_1d",
                  dict(CFG, mean_poly=2, u_mode="profiled"),
                  Policy(jnp.float64))
+
+
+def test_advection_spectral_init_reads_boundary_edges():
+    """Advection's source is identically zero (beta u_x + u_y = 0), so the
+    spectral init falls back to the boundary EDGES, which carry each axis's
+    spectrum: for u = sin(x - beta y) the y edge holds the beta-scaled line
+    at beta/2pi cycles/unit (reference operator:
+    code/model_GP_solver_advection.py:354-362)."""
+    prob = make_problem("advection-sin", N_col=200, scale=1.0, beta=200.0)
+    s = Solver2D(prob, "Matern52_Cos_1d",
+                 dict(CFG, llk_weight=500.0, freq_scale=40.0,
+                      freq_init="spectral"),
+                 Policy(jnp.float64))
+    p = s.init_params()
+    f2 = np.asarray(p["kernel_paras_2"]["freq"])
+    line = 200.0 / (2 * np.pi)
+    assert np.min(np.abs(f2 - line)) < 0.3, f2
+    # linspace init, by contrast, has nothing within half a coverage step
+    s_lin = Solver2D(prob, "Matern52_Cos_1d",
+                     dict(CFG, llk_weight=500.0, freq_scale=40.0),
+                     Policy(jnp.float64))
+    f2_lin = np.asarray(s_lin.init_params()["kernel_paras_2"]["freq"])
+    assert np.min(np.abs(f2_lin - line)) > 0.5
