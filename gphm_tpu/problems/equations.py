@@ -51,6 +51,14 @@ EQUATIONS_2D: Dict[str, Callable] = {
     "allencahn_2d-mix-sincos":
         lambda x, y: (jnp.sin(x) + 0.1 * jnp.sin(20 * x) + jnp.cos(100 * x))
         * (jnp.sin(y) + 0.1 * jnp.sin(20 * y) + jnp.cos(100 * y)),
+    # beyond-reference: 2D analog of poisson_1d-x2_add_sinx — a high
+    # frequency line on a smooth polynomial trend whose source contribution
+    # (u_xx + u_yy = -8) is ~4e-4 of the line's 2e4 amplitude, i.e. below
+    # the learned residual noise floor. Exercises the separable 2D
+    # polynomial mean function (mean_poly; models/solver_2d.py).
+    "poisson_2d-x2y2_add_sinsin":
+        lambda x, y: (jnp.sin(100 * x) * jnp.sin(100 * y)
+                      - 2 * (x - 0.5) ** 2 - 2 * (y - 0.5) ** 2),
 }
 
 

@@ -29,7 +29,7 @@ EQUATIONS_1D = [
 ]
 EQUATIONS_2D = [
     "poisson_2d-sin_cos", "poisson_2d-sin_sin", "poisson_2d-sin_add_cos",
-    "allencahn_2d-mix-sincos",
+    "allencahn_2d-mix-sincos", "poisson_2d-x2y2_add_sinsin",
 ]
 EQUATIONS_ADVECTION = ["advection-sin"]
 

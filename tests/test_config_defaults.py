@@ -42,6 +42,8 @@ SHIPPED = {
     "poisson_2d-sin_add_cos": dict(dtype="float32", nepoch=1000000),
     "poisson_2d-sin_cos": dict(dtype="float32", nepoch=1000000),
     "allencahn_2d-mix-sincos": dict(dtype="float32", jitter=1e-5),
+    "poisson_2d-x2y2_add_sinsin": dict(dtype="float32", u_mode="adam",
+                                       mean_poly=2, nepoch=100000),
     "advection-sin": dict(dtype="float32", nepoch=200000),
 }
 
