@@ -38,18 +38,25 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 96
 NEP = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
 CG = int(sys.argv[3]) if len(sys.argv) > 3 else 200
 DECAY = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
+EQ = sys.argv[5] if len(sys.argv) > 5 else "advection-sin"
 
-cfg = dict(Q=30, lr=0.01, llk_weight=500.0, logdet=True, tol=-1.0,
-           freq_scale=40.0, jitter=1e-6, u_mode="profiled",
-           profile_cg_iters=CG, freq_init="spectral", beta=200.0,
-           profile_objective="map", lr_decay=DECAY)
-prob = make_problem("advection-sin", N_col=N, scale=1.0)
+EQ_CFG = {
+    "advection-sin": dict(llk_weight=500.0, freq_scale=40.0, scale=1.0,
+                          beta=200.0),
+    "poisson_2d-sin_sin": dict(llk_weight=200.0, freq_scale=20.0,
+                               scale=2 * np.pi, beta=1.0),
+}[EQ]
+cfg = dict(Q=30, lr=0.01, llk_weight=EQ_CFG["llk_weight"], logdet=True,
+           tol=-1.0, freq_scale=EQ_CFG["freq_scale"], jitter=1e-6,
+           u_mode="profiled", profile_cg_iters=CG, freq_init="spectral",
+           beta=EQ_CFG["beta"], profile_objective="map", lr_decay=DECAY)
+prob = make_problem(EQ, N_col=N, scale=EQ_CFG["scale"])
 solver = Solver2D(prob, "Matern52_Cos_1d", cfg, Policy(jnp.float64))
 
 t0 = time.time()
 res = solver.train(NEP, verbose=False, mode="chunked", n_evals=15,
                    nan_policy="rollback")
 errs = np.asarray(res.log["err_list"])
-print(f"N={N} nepoch={NEP} cg={CG} decay={DECAY} wall={time.time() - t0:.0f}s")
+print(f"{EQ} N={N} nepoch={NEP} cg={CG} decay={DECAY} wall={time.time() - t0:.0f}s")
 print("errs:", [f"{e:.3e}" for e in errs])
 print(f"min rel-L2 = {np.nanmin(errs):.4e}")
