@@ -126,6 +126,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fraction of the budget spent on the multi-start "
                         "warmup (default 0.01; two-GP runs need it at or "
                         "before the change point)")
+    p.add_argument("--multi-start-batch", type=int, default=None,
+                   dest="multi_start_batch",
+                   help="train the starts in sequential groups of this "
+                        "size (default: all at once) — use when K x the "
+                        "per-start working set exceeds device memory, e.g. "
+                        "8 starts at N_col=900 want ~28 GB on a 16 GB v5e")
     p.add_argument("--reference-protocol", action="store_true",
                    dest="reference_protocol",
                    help="run the faithful reference protocol (Adam on the "
@@ -194,6 +200,7 @@ def main(argv=None) -> int:
                      mean_poly=args.mean_poly,
                      multi_start=args.multi_start,
                      multi_start_frac=args.multi_start_frac,
+                     multi_start_batch=args.multi_start_batch,
                      u_mode=args.u_mode, nan_policy=args.nan_policy,
                      profile_cg_iters=args.profile_cg_iters,
                      profile_objective=args.profile_objective,

@@ -368,6 +368,7 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                           f"{warmup} warmup epochs ({seg0})")
                 p0, s0, ms_info = multi_start_train(
                     ms_solver, warmup, config.multi_start, mesh=mesh,
+                    batch=config.multi_start_batch or None,
                     verbose=verbose)
                 resume_kw = dict(start_epoch=warmup, init_state=(p0, s0))
                 metrics.log(fold=fold, multi_start=ms_info)

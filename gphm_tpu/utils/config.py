@@ -136,6 +136,12 @@ class RunConfig:
                                   # fraction of the budget spent warming up
                                   # the starts (two-GP runs: must end at or
                                   # before the change point)
+    multi_start_batch: int = 0    # >0: train the starts in sequential
+                                  # groups of this size instead of one
+                                  # vmapped batch — needed when K x the
+                                  # per-start working set exceeds HBM
+                                  # (N_col=900 Q=30 wants ~3.5 GB/start on
+                                  # the 15.75 GB v5e). 0 = all at once.
     phase_exact: str = "auto"     # two-float compensated trig phase for the
                                   # f32 training-tier Grams (ops/df32.py):
                                   # "on" / "off" / "auto". Auto resolves to

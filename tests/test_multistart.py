@@ -80,6 +80,39 @@ def test_multi_start_picks_criterion_argmin_and_matches_sequential():
     assert np.isfinite(float(loss))
 
 
+def test_multi_start_batched_matches_all_at_once():
+    # sequential groups (HBM-fitting path: 8 starts at N_col=900 want
+    # ~28 GB on a 16 GB v5e) must pick the same winner and return the
+    # same warmed state as the single vmapped batch
+    solver = make_solver(24)
+    K, warmup = 5, 30
+    p_all, o_all, i_all = multi_start_train(
+        solver, warmup, K, chunk=30, verbose=False)
+    p_b, o_b, i_b = multi_start_train(
+        solver, warmup, K, chunk=30, batch=2, verbose=False)
+    assert i_b["chosen"] == i_all["chosen"]
+    np.testing.assert_allclose(i_b["criteria"], i_all["criteria"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(p_b["kernel_paras"]["freq"]),
+                               np.asarray(p_all["kernel_paras"]["freq"]),
+                               rtol=1e-9)
+    step = jax.jit(make_step_fn(solver._loss, solver.optimizer))
+    _, _, loss = step(p_b, o_b)
+    assert np.isfinite(float(loss))
+
+
+def test_run_experiment_multi_start_batch_plumbs(tmp_path):
+    from gphm_tpu.experiment import run_experiment
+    from gphm_tpu.utils.config import load_config
+
+    res = run_experiment(
+        load_config("poisson_1d-single_sin", multi_start=3,
+                    multi_start_frac=0.25, multi_start_batch=2,
+                    N_col=24, nepoch=40, Q=4, dtype="float64"),
+        out_base=str(tmp_path), verbose=False, figures=False)
+    assert np.isfinite(res.err_mean)
+
+
 def test_run_experiment_multi_start(tmp_path):
     from gphm_tpu.experiment import run_experiment
     from gphm_tpu.utils.config import load_config
