@@ -396,9 +396,14 @@ def chunked_train(
             # divergence and only papers over NaNs in post-hoc analysis
             # (SURVEY §5 "failure detection"). A non-finite state is never
             # written to the rolling checkpoint (resuming from it could
-            # only continue the divergence).
-            if not (np.isfinite(loss_f) and np.isfinite(err)):
-                msg = (f"non-finite training state at epoch {i}: "
+            # only continue the divergence). A *finite* rel-L2 above 1e6 is
+            # treated the same: divergence can overflow the latent without
+            # reaching inf (measured: the 2D MAP-profiled sin_sin probe
+            # rode err ~ 1e72 for a thousand epochs, every value finite,
+            # so the rollback never fired).
+            if not (np.isfinite(loss_f) and np.isfinite(err)) \
+                    or err > 1e6:
+                msg = (f"non-finite/diverged training state at epoch {i}: "
                        f"loss={loss_f}, rel-L2={err}")
                 if nan_policy == "raise":
                     raise FloatingPointError(msg)

@@ -315,6 +315,34 @@ def test_nan_rollback_gives_up_and_returns_finite_state():
     assert np.isfinite(float(res.params["x"]))
 
 
+def test_finite_explosion_triggers_rollback():
+    """A diverged state can overflow the latent without reaching inf —
+    measured: the 2D MAP-profiled sin_sin probe rode rel-L2 ~ 1e72 for a
+    thousand epochs, every value finite, so the NaN guard never fired.
+    rel-L2 > 1e6 is treated as divergence."""
+    from gphm_tpu.models.base import TrainState, chunked_train
+
+    calls = []
+
+    def run_chunk(params, opt_state, nsteps):
+        calls.append(nsteps)
+        return {"x": params["x"] + nsteps}, opt_state, jnp.ones(())
+
+    state = TrainState(
+        params={"x": jnp.zeros(())}, opt_state={"m": jnp.zeros(())},
+        run_chunk=run_chunk,
+        # finite explosion at the 3rd eval and beyond
+        eval_fn=lambda p: jnp.where(p["x"] > 5.0, 1e72, 0.5),
+        criterion_fn=lambda p: jnp.ones(()),
+        opt_init=lambda p: {"m": jnp.zeros(())},
+    )
+    res = chunked_train(state=state, nepoch=40, n_evals=20,
+                        nan_policy="rollback", verbose=False)
+    assert res.extras["nan_recoveries"] >= 1
+    # the explosion never entered the min-error record
+    assert res.min_err <= 0.5
+
+
 def test_early_stop_after_gates_rise_counter():
     """The error-increase stop (two-GP family) must not fire before
     ``early_stop_after``: phase-1 test error is meaningless before the
