@@ -396,13 +396,20 @@ def chunked_train(
             # divergence and only papers over NaNs in post-hoc analysis
             # (SURVEY §5 "failure detection"). A non-finite state is never
             # written to the rolling checkpoint (resuming from it could
-            # only continue the divergence). A *finite* rel-L2 above 1e6 is
-            # treated the same: divergence can overflow the latent without
-            # reaching inf (measured: the 2D MAP-profiled sin_sin probe
-            # rode err ~ 1e72 for a thousand epochs, every value finite,
-            # so the rollback never fired).
-            if not (np.isfinite(loss_f) and np.isfinite(err)) \
-                    or err > 1e6:
+            # only continue the divergence). Finite explosions count too:
+            # divergence can overflow the latent without reaching inf
+            # (measured: the 2D MAP-profiled sin_sin probe rode err ~ 1e72
+            # for a thousand epochs, every value finite) — err > 1e6
+            # always fires, and once the run has made real progress
+            # (min_err < 1) so does err > max(10, 1000x the best seen)
+            # (measured: the advection MAP cliff burned 3300 epochs at
+            # finite err 12..353 from a min of 8.4e-3, campaign T). The
+            # floor of 10 keeps legitimate optimizer spikes inside the
+            # band: the largest on record is sin_cos's single-eval 1.38
+            # from min 3.1e-4 (campaign R), 7x under the floor.
+            exploded = err > 1e6 or (min_err < 1.0
+                                     and err > max(10.0, 1e3 * min_err))
+            if not (np.isfinite(loss_f) and np.isfinite(err)) or exploded:
                 msg = (f"non-finite/diverged training state at epoch {i}: "
                        f"loss={loss_f}, rel-L2={err}")
                 if nan_policy == "raise":

@@ -109,18 +109,25 @@ class Solver2D:
         # an (N, p) x (p, p) x (p, N) matmul chain) and targets the same
         # smooth-mode-below-the-noise-floor mechanism that bound x2_add_sinx
         # (allencahn_2d / sin_add_cos carry low-frequency components under
-        # their high-frequency lines). Trained by Adam alongside the latent
-        # (the 2D profiled engine does not carry the trend yet; see
-        # experiment.make_solver guard). The GP prior centers on the trend:
-        # quad/prior terms apply to U - H1 B H2'.
+        # their high-frequency lines). Adam mode trains B alongside the
+        # latent; profiled mode solves (V, B) jointly in closed form each
+        # step (ops/kron_profile.profiled_u_beta_star_2d) — the route that
+        # actually moves the needle: Adam's latent develops a boundary-only
+        # smooth mode at ~1e-5 rel-L2 per 1k epochs (measured on
+        # x2y2_add_sinsin: the high-frequency prior does not propagate edge
+        # information inward), while the joint conditional solve transfers
+        # it instantly. The GP prior centers on the trend: quad/prior terms
+        # apply to U - H1 B H2'.
         self.mean_poly = int(config.get("mean_poly", -1))
         self.n_beta = self.mean_poly + 1 if self.mean_poly >= 0 else 0
         if self.n_beta:
-            if str(config.get("u_mode", "adam")) != "adam":
+            if str(config.get("u_mode", "adam")) == "profiled" \
+                    and problem.eq_type == "allencahn_2d":
                 raise ValueError(
-                    "mean_poly in Solver2D supports u_mode='adam' only "
-                    "(the 2D profiled CG system does not carry the trend "
-                    "yet)")
+                    "mean_poly with the profiled 2D engine supports linear "
+                    "residuals only (poisson_2d / advection); Allen-Cahn's "
+                    "Gauss-Newton path does not carry the trend yet — use "
+                    "u_mode='adam'")
             from gphm_tpu.ops.meanfn import poly_basis
             xs, dom, bases = [], [], []
             for axis_x, axis_t in (("x_col64", "x_test64"),
@@ -190,7 +197,8 @@ class Solver2D:
                 raise ValueError(
                     "u_mode='profiled' needs f64-quality solves: use "
                     "dtype 'float64' (CPU) or 'refined' (TPU)")
-            freeze = list(freeze or []) + ["U"]
+            freeze = list(freeze or []) + ["U"] \
+                + (["beta"] if self.n_beta else [])
             wd = jnp.float64 if self.wide_train else p.dtype
             # Boundary mask/target grids.  The reference's boundary vector
             # hstacks the four edges (code/model_GP_solver_2d.py:127), so
@@ -220,6 +228,11 @@ class Solver2D:
                           "log_tau": jnp.clip(params["log_tau"],
                                               -clip, clip),
                           "log_v": jnp.clip(params["log_v"], -clip, clip)}
+                if self.n_beta:
+                    V, beta = self._u_star(params)
+                    return {**params,
+                            "U": jax.lax.stop_gradient(V),
+                            "beta": jax.lax.stop_gradient(beta)}
                 return {**params, "U": jax.lax.stop_gradient(
                     self._u_star(params))}
 
@@ -364,6 +377,26 @@ class Solver2D:
         # warm start: the previous step's optimum IS the stored latent
         V = params["U"].astype(K1.dtype)
         src = self.src_loss.astype(K1.dtype)
+        if self.n_beta:
+            # joint (V, beta) conditional optimum with the separable trend
+            # (ops/kron_profile.profiled_u_beta_star_2d); returns both so
+            # _prepare can overwrite the two leaves together
+            from gphm_tpu.ops.kron_profile import profiled_u_beta_star_2d
+            from gphm_tpu.ops.profile1d import BETA_PRIOR_PREC
+            d = K1.dtype
+            if self.deriv_order == 2:
+                H1D, H2D = self._H1dd, self._H2dd
+            else:
+                H1D, H2D = self._H1d, self._H2d
+            _, V, beta = profiled_u_beta_star_2d(
+                K1, Kd1, K2, Kd2,
+                self._H1.astype(d), H1D.astype(d),
+                self._H2.astype(d), H2D.astype(d),
+                self._bc_mask, self._bc_grid, src, wt, v, a1,
+                V, params["beta"].astype(d), self.profile_cg_iters,
+                jnp.asarray(BETA_PRIOR_PREC, d))
+            return (V.astype(params["U"].dtype),
+                    beta.astype(params["beta"].dtype))
         if self.eq_type != "allencahn_2d":
             _, V = profiled_u_star_2d(
                 K1, Kd1, K2, Kd2, self._bc_mask, self._bc_grid,
@@ -448,6 +481,13 @@ class Solver2D:
             U = P1 @ K2
             U_dx = Kd1 @ VK2
             U_dy = P1 @ Kd2.T
+            if self.n_beta:
+                # trend rides on top of the GP part: boundary/residual act
+                # on the TOTAL, the prior quadratic stays on (V, K1 V K2)
+                T, T_dx, T_dy = self._trend_terms(params, U.dtype)
+                U = U + T
+                U_dx = U_dx + T_dx
+                U_dy = U_dy + T_dy
             ld1 = ld2 = None
             if self.logdet_flag:
                 ld1 = robust_cholesky(K1, max_tries=0).logdet()
@@ -550,9 +590,29 @@ class Solver2D:
         dbar = (jnp.mean(3.0 * U ** 2 - 1.0)
                 if self.eq_type == "allencahn_2d" else 0.0)
         lb_marg = 0.5 * self.Nb * jnp.log(wt) - 0.5 * wt * boundary_gap
+        occ = occam_logdet_2d(K1, Kd1, K2, Kd2, a1, wt, v, dbar=dbar)
+        if self.n_beta:
+            # trend directions of the Occam surrogate: 0.5 logdet of the
+            # exact dense beta-block (ops/kron_profile.trend_block — the
+            # coupling to V is dropped, consistent with the separable
+            # surrogate), so the evidence prices the trend's 9 integrated
+            # directions like the 1D augmented logdet does
+            from gphm_tpu.ops.kron_profile import trend_block
+            from gphm_tpu.ops.profile1d import BETA_PRIOR_PREC
+            d = K1.dtype
+            if self.deriv_order == 2:
+                H1D, H2D = self._H1dd, self._H2dd
+            else:
+                H1D, H2D = self._H1d, self._H2d
+            r1 = jnp.zeros((self.N1,), d).at[0].set(1.0).at[-1].set(1.0)
+            r2 = jnp.zeros((self.N2,), d).at[0].set(1.0).at[-1].set(1.0)
+            Qb = trend_block(self._H1.astype(d), H1D.astype(d),
+                             self._H2.astype(d), H2D.astype(d),
+                             r1, r2, wt, v, a1,
+                             jnp.asarray(BETA_PRIOR_PREC, d))
+            occ = occ + 0.5 * jnp.linalg.slogdet(Qb)[1]
         return -(log_prior + lb_marg + eq_ll) \
-            - (self.N2 * ld1 + self.N1 * ld2) \
-            + occam_logdet_2d(K1, Kd1, K2, Kd2, a1, wt, v, dbar=dbar)
+            - (self.N2 * ld1 + self.N1 * ld2) + occ
 
     def _predict(self, params):
         """Per-dimension cross-kernel posterior mean
@@ -569,7 +629,12 @@ class Solver2D:
             Kmn1 = self.cross1.eval(self.kernel, kp1, wide=wide)
             Kmn2 = self.cross2.eval(self.kernel, kp2, wide=wide)
             V = params["U"].astype(Kmn1.dtype)
-            return (Kmn1 @ V) @ Kmn2.T
+            preds = (Kmn1 @ V) @ Kmn2.T
+            if self.n_beta:
+                B = params["beta"].astype(preds.dtype)
+                preds = preds + self._H1t.astype(preds.dtype) @ B \
+                    @ self._H2t.astype(preds.dtype).T
+            return preds
         K1 = self.axis1.gram(self.kernel, kp1, jitter=self.jitter, wide=wide)
         if sd is not None:
             K1 = K1.astype(sd)

@@ -173,6 +173,157 @@ def pcg_grid(matvec: Callable, minv: Callable, B, X0, iters: int):
     return X, rz
 
 
+def trend_block(H1, H1D, H2, H2D, r1, r2, wt, v, a1, eps):
+    """Exact dense beta-block of the trend-augmented normal operator.
+
+    With the separable trend T(beta) = H1 beta H2' (row-major
+    vec: (H1 (x) H2) vec_r(beta)) and residual lift
+    Lt(beta) = a1 H1D beta H2' + H1 beta H2D', the beta-beta block of the
+    joint quadratic's Hessian is the (p1 p2, p1 p2) matrix
+
+        Q_b = eps I
+            + wt [ (H1' R H1) (x) (H2' H2) + (H1' H1) (x) (H2' C H2) ]
+            + v  [ a1^2 (H1D'H1D) (x) (H2'H2) + a1 (H1D'H1) (x) (H2'H2D)
+                 + a1 (H1'H1D) (x) (H2D'H2) + (H1'H1) (x) (H2D'H2D) ],
+
+    exact because the boundary mask is the rank-2 sum m_ij = r_i + c_j
+    (R = diag(r1), C = diag(r2); corners correctly weighted 2). Every
+    factor is a (p, p) Gram of the small bases — no N^2 objects. Used both
+    as the beta-block preconditioner of the joint PCG and as the beta-
+    directions term of the marginal Occam surrogate."""
+    G1, G2 = H1.T @ H1, H2.T @ H2
+    bnd = jnp.kron(H1.T @ (r1[:, None] * H1), G2) \
+        + jnp.kron(G1, H2.T @ (r2[:, None] * H2))
+    res = (a1 ** 2 * jnp.kron(H1D.T @ H1D, G2)
+           + a1 * jnp.kron(H1D.T @ H1, H2.T @ H2D)
+           + a1 * jnp.kron(H1.T @ H1D, H2D.T @ H2)
+           + jnp.kron(G1, H2D.T @ H2D))
+    p = G1.shape[0] * G2.shape[0]
+    Qb = wt * bnd + v * res + eps * jnp.eye(p, dtype=H1.dtype)
+    return 0.5 * (Qb + Qb.T)
+
+
+def pcg_pair(matvec: Callable, minv: Callable, B, X0, iters: int):
+    """``pcg_grid`` on a (grid, small-block) pair of unknowns — the joint
+    inner product is the sum of the per-part ones."""
+    def vdot2(a, b):
+        return jnp.vdot(a[0], b[0]) + jnp.vdot(a[1], b[1])
+
+    def axpy(a, x, y):
+        return (y[0] + a * x[0], y[1] + a * x[1])
+
+    X = X0
+    AX = matvec(X0)
+    R = (B[0] - AX[0], B[1] - AX[1])
+    Z = minv(R)
+    P = Z
+    rz = vdot2(R, Z)
+    tiny = jnp.asarray(jnp.finfo(B[0].dtype).tiny, B[0].dtype)
+
+    def safe_div(a, b):
+        ok = jnp.abs(b) > tiny
+        return jnp.where(ok, a / jnp.where(ok, b, 1.0), jnp.zeros_like(a))
+
+    def body(_, carry):
+        X, R, P, rz = carry
+        Ap = matvec(P)
+        alpha = safe_div(rz, vdot2(P, Ap))
+        X = axpy(alpha, P, X)
+        R = axpy(-alpha, Ap, R)
+        Z = minv(R)
+        rz_new = vdot2(R, Z)
+        beta = safe_div(rz_new, rz)
+        P = axpy(beta, P, Z)
+        return X, R, P, rz_new
+
+    X, _, _, rz = jax.lax.fori_loop(0, iters, body, (X, R, P, rz))
+    return X, rz
+
+
+def profiled_u_beta_star_2d(K1, Kd1, K2, Kd2, H1, H1D, H2, H2D,
+                            mask, bgrid, src, wt, v, a1, V0, beta0,
+                            iters: int, eps):
+    """Joint conditional optimum (V*, beta*) of the trend-augmented 2D MAP
+    objective — the 2D analog of ops/profile1d.linear_ut_beta_star.
+
+    Total latent U = K1 V K2 + H1 beta H2' (universal kriging,
+    ops/meanfn.py); the objective stays jointly quadratic in (V, beta) for
+    a linear residual, so one joint PCG on the SPD augmented operator
+
+        [ S      C  ] [vec V ]   [ rhs_V ]
+        [ C'   Q_b  ] [vec b ] = [ rhs_b ]
+
+    replaces the Adam descent on both. Block-diagonal preconditioner: the
+    separable eigenbasis diagonal for the V block (``precond_diag``) and
+    the exact dense inverse of ``trend_block`` for the (tiny) beta block.
+    ``H1D/H2D`` must carry the PDE's derivative order (Hdd for Poisson,
+    Hd for advection). Returns (U*, V*, beta*); wrap in ``stop_gradient``
+    (envelope theorem).
+
+    The (V, beta) SPLIT needs a tie-break: whenever the trend lies inside
+    the GP's span (a mixture with near-zero frequencies — always true at
+    init), the split direction's curvature is just the loss's 1e-8 beta
+    ridge, ~18 orders below the Hessian's top eigenvalue and therefore
+    below f64 resolution for any solver. Left alone, the solve returns
+    beta ~ O(1e3) with a huge compensating GP part whose cancellation is
+    exact on the collocation grid but NOT on the test grid (measured:
+    rel-L2 ~3e2 predictions). The solve therefore carries a RELATIVE beta
+    ridge (1e-8 x the beta-block's mean diagonal — the same equilibrated-
+    ridge idea as the 1D dense factorization): while the split is
+    degenerate it selects the minimal-``beta`` representative, and once
+    training sharpens the mixture onto the solution's spectral lines the
+    real curvature (the kernel no longer supports the smooth trend — the
+    noise-floor mechanism the trend exists to fix) dominates the ridge and
+    beta converges to the true trend. The stationarity bias is O(ridge),
+    far inside CG's own tolerance."""
+    Kd2t = Kd2.T
+
+    def jadj(W):
+        return a1 * (Kd1.T @ W @ K2) + K1 @ (W @ Kd2)
+
+    def lt(b):
+        return a1 * (H1D @ b @ H2.T) + H1 @ b @ H2D.T
+
+    def lt_adj(W):
+        return a1 * (H1D.T @ W @ H2) + H1.T @ W @ H2D
+
+    r1 = mask[:, 0] * 0.0
+    r1 = r1.at[0].set(1.0).at[-1].set(1.0)
+    r2 = mask[0, :] * 0.0
+    r2 = r2.at[0].set(1.0).at[-1].set(1.0)
+    Qb = trend_block(H1, H1D, H2, H2D, r1, r2, wt, v, a1, eps)
+    p1, p2 = H1.shape[1], H2.shape[1]
+    # relative beta ridge: the split tie-break (see docstring)
+    ridge = 1e-8 * jnp.mean(jnp.diag(Qb))
+    Qb = Qb + ridge * jnp.eye(p1 * p2, dtype=Qb.dtype)
+
+    def matvec(x):
+        V, b = x
+        P1 = K1 @ V
+        Tg = P1 @ K2
+        W = a1 * ((Kd1 @ V) @ K2) + P1 @ Kd2t + lt(b)
+        Mtot = mask * (Tg + H1 @ b @ H2.T)
+        outV = Tg + wt * (K1 @ Mtot @ K2) + v * jadj(W)
+        outB = (eps + ridge) * b + wt * (H1.T @ Mtot @ H2) + v * lt_adj(W)
+        return outV, outB
+
+    mb = mask * bgrid
+    rhs = (wt * (K1 @ mb @ K2) + v * jadj(src),
+           wt * (H1.T @ mb @ H2) + v * lt_adj(src))
+
+    s1 = axis_spec(K1, Kd1)
+    s2 = axis_spec(K2, Kd2)
+    Pd = precond_diag(a1, wt, v, s1, s2)
+
+    def minv(R):
+        Rv, Rb = R
+        Zb = jnp.linalg.solve(Qb, Rb.reshape(-1)).reshape(p1, p2)
+        return s1.Q @ ((s1.Q.T @ Rv @ s2.Q) / Pd) @ s2.Q.T, Zb
+
+    (V, beta), _ = pcg_pair(matvec, minv, rhs, (V0, beta0), iters)
+    return K1 @ V @ K2 + H1 @ beta @ H2.T, V, beta
+
+
 def profiled_u_star_2d(K1, Kd1, K2, Kd2, mask, bgrid, src, wt, v,
                        a1, V0, iters: int, dgrid=None):
     """Conditional optimum U*(theta) of the 2D MAP objective for a

@@ -160,12 +160,137 @@ def test_short_training_run_is_finite_and_improves():
     assert losses[-1] < losses[0]  # the objective descends with beta live
 
 
-def test_profiled_2d_rejects_trend():
-    prob = make_problem("poisson_2d-sin_sin", N_col=12, scale=1.0)
-    with pytest.raises(ValueError, match="profiled"):
+def test_profiled_allencahn_rejects_trend():
+    # the Gauss-Newton path does not carry the trend; linear residuals do
+    prob = make_problem("allencahn_2d-mix-sincos", N_col=12, scale=1.0)
+    with pytest.raises(ValueError, match="Gauss-Newton"):
         Solver2D(prob, "Matern52_Cos_1d",
                  dict(CFG, mean_poly=2, u_mode="profiled"),
                  Policy(jnp.float64))
+
+
+def _joint_quadratic(s, p):
+    """The loss as a function of the concatenated (vec V, vec beta) — the
+    exact quadratic the joint PCG must minimize (profile_objective='map';
+    the marginal objective's extra terms are (V, beta)-independent)."""
+    n = s.N1 * s.N2
+
+    def f(z):
+        V = z[:n].reshape(s.N1, s.N2)
+        b = z[n:].reshape(s.n_beta, s.n_beta)
+        return s._loss({**p, "U": V, "beta": b})
+
+    return f, n
+
+
+@pytest.mark.parametrize("eq,kw", [
+    ("poisson_2d-sin_sin", {}),
+    ("advection-sin", {"beta": 5.0}),
+])
+def test_profiled_joint_optimum_is_stationary(eq, kw):
+    """(V*, beta*) from the joint PCG is a stationary point of the exact
+    joint quadratic, and at least as good as the dense Hessian solve.
+
+    NOTE the (V, beta) SPLIT is deliberately not asserted: at the init
+    hyperparameters the trend lies inside the GP span (the mixture carries
+    near-zero frequencies), so the split is determined only by the 1e-8
+    beta ridge — 18 orders below the Hessian's top eigenvalue, i.e. below
+    f64 resolution for ANY solver (the measured dense eigenvalue floor is
+    NEGATIVE: -3.6e-7 vs lam_max 1.6e10). The dense np.linalg.solve lands
+    at HIGHER loss than the PCG on the Poisson config; only the total U,
+    the loss value, and stationarity are well-posed, and once training
+    sharpens the mixture onto the solution's spectral lines the split
+    direction gains real curvature (the kernel stops supporting the smooth
+    trend — exactly the noise-floor mechanism the trend exists to fix)."""
+    prob = make_problem(eq, N_col=14, scale=1.0, **kw)
+    s = Solver2D(prob, "Matern52_Cos_1d",
+                 dict(CFG, mean_poly=2, u_mode="profiled",
+                      profile_objective="map", profile_cg_iters=1500),
+                 Policy(jnp.float64))
+    p = s.init_params()
+    f, n = _joint_quadratic(s, p)
+    V, beta = s._u_star(p)
+    z = jnp.concatenate([V.reshape(-1), beta.reshape(-1)])
+    z0 = jnp.zeros_like(z)
+    g0 = np.linalg.norm(np.asarray(jax.grad(f)(z0)))
+    gz = np.linalg.norm(np.asarray(jax.grad(f)(z)))
+    assert gz < 1e-4 * g0, (gz, g0)
+    # not worse than the dense pivot (which may itself sit in f64 noise)
+    H = jax.hessian(f)(z0)
+    zd = jnp.linalg.solve(H, -jax.grad(f)(z0))
+    scale = abs(float(f(z0)) - min(float(f(zd)), float(f(z))))
+    assert float(f(z)) <= float(f(zd)) + 1e-6 * scale
+
+
+def test_profiled_joint_matches_dense_when_conditioned():
+    """In a regime where the dense augmented solve is trustworthy
+    (advection at jitter 1e-3: measured lam_min > 0), the joint PCG
+    reproduces it exactly — total U to 1e-6."""
+    prob = make_problem("advection-sin", N_col=12, scale=1.0, beta=5.0)
+    s = Solver2D(prob, "Matern52_Cos_1d",
+                 dict(CFG, jitter=1e-3, llk_weight=20.0, mean_poly=2,
+                      u_mode="profiled", profile_objective="map",
+                      profile_cg_iters=2000),
+                 Policy(jnp.float64))
+    p = s.init_params()
+    f, n = _joint_quadratic(s, p)
+    z0 = jnp.zeros(n + s.n_beta ** 2)
+    H = jax.hessian(f)(z0)
+    zd = jnp.linalg.solve(H, -jax.grad(f)(z0))
+    V, beta = s._u_star(p)
+    K1 = s.axis1.gram(s.kernel, p["kernel_paras_1"], jitter=s.jitter)
+    K2 = s.axis2.gram(s.kernel, p["kernel_paras_2"], jitter=s.jitter)
+
+    def tot_u(V, b):
+        return np.asarray(K1 @ V @ K2 + s._H1 @ b @ s._H2.T)
+
+    U_op = tot_u(V, beta)
+    U_d = tot_u(zd[:n].reshape(s.N1, s.N2),
+                zd[n:].reshape(s.n_beta, s.n_beta))
+    # 1e-4: the solve's relative beta ridge (1e-8 x the block diagonal)
+    # shifts the optimum by ~4e-5 here — the designed tie-break bias
+    assert np.linalg.norm(U_op - U_d) / np.linalg.norm(U_d) < 1e-4
+
+
+def test_whitened_trend_loss_matches_adam_total():
+    """MAP loss in whitened coordinates (V, beta) == adam-mode loss at the
+    total U = K1 V K2 + H1 beta H2' (the trend-augmented change of
+    variables is exact)."""
+    prob = make_problem("poisson_2d-sin_sin", N_col=14, scale=1.0)
+    cfg_t = dict(CFG, mean_poly=2)
+    s_w = Solver2D(prob, "Matern52_Cos_1d",
+                   dict(cfg_t, u_mode="profiled", profile_objective="map"),
+                   Policy(jnp.float64))
+    s_a = Solver2D(prob, "Matern52_Cos_1d", cfg_t, Policy(jnp.float64))
+    rng = np.random.default_rng(3)
+    p = s_w.init_params()
+    p["U"] = jnp.asarray(rng.normal(size=(14, 14)) * 0.1)
+    p["beta"] = jnp.asarray(rng.normal(size=(3, 3)) * 0.5)
+    K1 = s_w.axis1.gram(s_w.kernel, p["kernel_paras_1"], jitter=s_w.jitter)
+    K2 = s_w.axis2.gram(s_w.kernel, p["kernel_paras_2"], jitter=s_w.jitter)
+    T = jnp.asarray(np.asarray(s_w._H1) @ np.asarray(p["beta"])
+                    @ np.asarray(s_w._H2).T)
+    p_a = dict(p, U=K1 @ p["U"] @ K2 + T)
+    np.testing.assert_allclose(float(s_w._loss(p)), float(s_a._loss(p_a)),
+                               rtol=1e-9)
+
+
+def test_profiled_trend_short_run_descends():
+    """The marginal objective must descend with the trend in the joint
+    solve. (rel-L2 is NOT asserted: at raw init hyperparameters the 2D
+    profiled conditional optimum interpolates wildly — measured err 763
+    with NO trend, 346 with it at this config — and 120 epochs cannot
+    leave that regime; the hyperparameter ascent, not the trend, owns
+    that. The loss is the quantity the step is guaranteed to improve.)"""
+    prob = make_problem("poisson_2d-sin_sin", N_col=16, scale=1.0)
+    s = Solver2D(prob, "Matern52_Cos_1d",
+                 dict(CFG, mean_poly=2, u_mode="profiled",
+                      profile_cg_iters=120),
+                 Policy(jnp.float64))
+    res = s.train(120, verbose=False, mode="chunked", n_evals=4)
+    losses = np.asarray(res.log["loss_list"])
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
 
 
 def test_advection_spectral_init_reads_boundary_edges():
