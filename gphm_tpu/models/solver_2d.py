@@ -610,7 +610,10 @@ class Solver2D:
                              self._H2.astype(d), H2D.astype(d),
                              r1, r2, wt, v, a1,
                              jnp.asarray(BETA_PRIOR_PREC, d))
-            occ = occ + 0.5 * jnp.linalg.slogdet(Qb)[1]
+            # Cholesky-based logdet: stock slogdet lowers to XLA's
+            # LuDecomposition, which TPU implements for f32 only
+            from gphm_tpu.ops.chol import robust_cholesky
+            occ = occ + 0.5 * robust_cholesky(Qb, max_tries=0).logdet()
         return -(log_prior + lb_marg + eq_ll) \
             - (self.N2 * ld1 + self.N1 * ld2) + occ
 

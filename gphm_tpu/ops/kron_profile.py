@@ -314,10 +314,15 @@ def profiled_u_beta_star_2d(K1, Kd1, K2, Kd2, H1, H1D, H2, H2D,
     s1 = axis_spec(K1, Kd1)
     s2 = axis_spec(K2, Kd2)
     Pd = precond_diag(a1, wt, v, s1, s2)
+    # factor the SPD beta block once via the repo's TPU-f64-safe Cholesky
+    # (stock jnp.linalg.solve lowers to LuDecomposition, which XLA:TPU
+    # implements for f32 only — measured compile failure at f64[9,9])
+    from gphm_tpu.ops.chol import robust_cholesky
+    Fb = robust_cholesky(Qb, max_tries=0)
 
     def minv(R):
         Rv, Rb = R
-        Zb = jnp.linalg.solve(Qb, Rb.reshape(-1)).reshape(p1, p2)
+        Zb = Fb.solve(Rb.reshape(-1, 1)).reshape(p1, p2)
         return s1.Q @ ((s1.Q.T @ Rv @ s2.Q) / Pd) @ s2.Q.T, Zb
 
     (V, beta), _ = pcg_pair(matvec, minv, rhs, (V0, beta0), iters)
