@@ -46,7 +46,11 @@ SHIPPED = {
                                        profile_objective="marginal",
                                        freq_init="spectral", mean_poly=2,
                                        profile_cg_iters=100, lr_decay=0.1,
-                                       nepoch=3000),
+                                       # short launches: a 150-epoch
+                                       # profiled chunk at N=400 trips the
+                                       # device launch watchdog (campaign
+                                       # U crash post-mortem)
+                                       n_evals=150, nepoch=3000),
     "advection-sin": dict(dtype="refined", u_mode="profiled",
                           profile_objective="map", freq_init="spectral",
                           profile_cg_iters=200, jitter=1e-6, lr_decay=0.1,
