@@ -345,16 +345,38 @@ def chunked_train(
 
     # Single device executions are capped (a multi-minute XLA launch can trip
     # infrastructure timeouts — observed: a 5000-step refined launch at
-    # ~48 ms/step crashed the TPU worker); long chunks run as repeated
-    # launches of one compiled program, which also keeps the number of
-    # distinct compiled scan lengths small.
+    # ~48 ms/step and a 150-step 2D-trend launch at ~1.4 s/step both crashed
+    # the TPU worker, while ~17 s launches ride through). The cap adapts to
+    # the measured step rate: the first launches are a short ramp, the warm
+    # rate then sets a steady launch length that fits LAUNCH_TARGET_S of
+    # device time, quantized to powers of two so the number of distinct
+    # compiled scan lengths stays small (scan compile cost is length-
+    # independent — the body compiles once).
+    LAUNCH_TARGET_S = 20.0
+    RAMP = 8
+    seen_lengths: set = set()
+    rate = [None]  # warm seconds/step (best observed)
 
     def run_steps(nsteps):
+        nonlocal max_launch
         loss = None
         while nsteps > 0:
-            k = min(nsteps, max_launch)
+            cap = max_launch if rate[0] is not None else RAMP
+            k = min(nsteps, cap)
+            warm = k in seen_lengths
+            t0 = time.time()
             state.params, state.opt_state, loss = state.run_chunk(
                 state.params, state.opt_state, k)
+            if warm:
+                jax.block_until_ready(loss)
+                r = (time.time() - t0) / k
+                rate[0] = r if rate[0] is None else min(rate[0], r)
+                fit = int(LAUNCH_TARGET_S / max(rate[0], 1e-9))
+                q = RAMP
+                while q * 2 <= fit:
+                    q *= 2
+                max_launch = min(max_launch, q)
+            seen_lengths.add(k)
             nsteps -= k
         return loss
 

@@ -11,6 +11,7 @@ device (or its own device on a multi-chip mesh).
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import List, Optional
 
@@ -88,12 +89,35 @@ def run_sweep(solver, batched_params, nepoch: int, *,
         batched_params = shard_batch(batched_params)
         opt_state = shard_batch(opt_state)
 
+    # Adaptive launch sizing (same scheme as models.base.chunked_train):
+    # a vmapped refined-tier step can cost >100 ms, so a fixed 1000-step
+    # launch runs for minutes and trips the TPU worker watchdog (observed
+    # live, campaign U2). Ramp short, measure the warm rate, then fit each
+    # launch to ~20 s of device time (power-of-two lengths keep the number
+    # of compiled scan lengths small; scan compile cost is length-free).
+    LAUNCH_TARGET_S = 20.0
+    RAMP = 8
+    seen: set = set()
+    rate = None
     done = 0
     loss = None
     while done < nepoch:
-        k = min(chunk, nepoch - done)
+        cap = chunk if rate is not None else RAMP
+        k = min(cap, nepoch - done)
+        warm = k in seen
+        t0 = time.time()
         batched_params, opt_state, loss = run_chunk(
             batched_params, opt_state, k)
+        if warm:
+            jax.block_until_ready(loss)
+            r = (time.time() - t0) / k
+            rate = r if rate is None else min(rate, r)
+            fit = int(LAUNCH_TARGET_S / max(rate, 1e-9))
+            q = RAMP
+            while q * 2 <= fit:
+                q *= 2
+            chunk = min(chunk, q)
+        seen.add(k)
         done += k
 
     errs = jax.vmap(solver._eval_err)(batched_params)
