@@ -34,6 +34,59 @@ def test_parity_report_from_synthetic_metrics(tmp_path):
     assert "0.2756" in out.stdout
 
 
+def _write_stream(root, eq, epoch_budget, recs, u_mode=None, extra=""):
+    d = root / eq / f"kernel_Matern52_Cos_1d{extra}" \
+        / f"epoch_{epoch_budget}" / "Q30"
+    d.mkdir(parents=True)
+    with open(d / "metrics_fold0.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    if u_mode is not None:
+        with open(d / "latest.npz.json", "w") as f:
+            json.dump({"meta": {"u_mode": u_mode}}, f)
+    return d
+
+
+def test_time_to_tolerance_adam_baseline(tmp_path):
+    """The reference-CPU column uses the adam-protocol stream's crossing
+    epoch (trajectory parity makes it the reference's own crossing), a >
+    lower bound when no adam stream crossed, and a same-epoch >= bound
+    when no adam stream exists at all."""
+    rec = lambda ep, err, w: {"fold": 0, "epoch": ep, "rel_l2": err,
+                              "wall_s": w}
+    # adam stream crosses 1e-2 at epoch 5000
+    _write_stream(tmp_path, "poisson_1d-single_sin", 10000,
+                  [rec(0, 0.9, 1.0), rec(5000, 0.009, 30.0),
+                   rec(10000, 0.004, 60.0)], u_mode="adam")
+    # profiled stream crosses at epoch 100 in 10 s
+    _write_stream(tmp_path, "poisson_1d-single_sin", 200,
+                  [rec(0, 0.9, 1.0), rec(100, 0.008, 10.0)],
+                  u_mode="profiled", extra="-p")
+    # an equation whose only adam stream never crossed its 1e6 budget
+    _write_stream(tmp_path, "poisson_1d-x2_add_sinx", 1000000,
+                  [rec(0, 0.9, 1.0), rec(1000000, 0.4, 900.0)],
+                  u_mode="adam")
+    _write_stream(tmp_path, "poisson_1d-x2_add_sinx", 300,
+                  [rec(0, 0.9, 1.0), rec(200, 0.008, 20.0)],
+                  u_mode="profiled", extra="-p")
+    # no adam stream at all -> same-epoch bound
+    _write_stream(tmp_path, "poisson_1d-mix_sin", 300,
+                  [rec(0, 0.9, 1.0), rec(200, 0.008, 20.0)],
+                  u_mode="profiled")
+
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "time_to_tolerance.py"),
+         str(tmp_path)], capture_output=True, text=True, check=True)
+    # adam crossing epoch 5000 -> ref 5000*49.965ms ~ 250s; profiled wall
+    # 10s -> 25x
+    assert "(25x, adam ep 5000)" in out.stdout
+    # not-crossed 1e6 budget -> >49965s lower bound over 20s wall
+    assert ">49965s (>2498x; adam not <1e-2 in 1000000 ep)" in out.stdout
+    # no adam stream: same-epoch bound 200*49.965ms ~ 10s over 20s wall
+    assert ">=10s (>=0.5x, same-epoch bound)" in out.stdout
+
+
 def test_graft_entry_importable():
     import __graft_entry__ as g
 
