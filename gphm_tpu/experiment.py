@@ -256,6 +256,19 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                 save_checkpoint(latest, (params, opt_state),
                                 meta={"epoch": epoch, **(stats or {}),
                                       **dataclasses.asdict(config)})
+                # ridge-flip observability (ADVICE r2): the augmented-trend
+                # factorization's two-level ridge select is discontinuous
+                # in objective value; log which level the current params
+                # pick so marginal-loss jumps in the metrics stream can be
+                # attributed to a ridge flip rather than the optimizer
+                if hasattr(solver, "trend_ridge_level") \
+                        and getattr(solver, "n_beta", 0):
+                    try:
+                        metrics.log(fold=fold, epoch=epoch,
+                                    ridge_big=solver.trend_ridge_level(
+                                        params))
+                    except Exception:
+                        pass
 
             if config.family == "1d_extra":
                 # persist the frozen phase-1 GP the moment the two-GP

@@ -337,6 +337,17 @@ class Solver1D:
                 beta.astype(params["beta"].dtype).reshape(
                     params["beta"].shape))
 
+    def trend_ridge_level(self, params):
+        """0.0/1.0: which ridge the augmented-trend factorization selects
+        at these params (ops/profile1d.trend_ridge_level; diagnostic,
+        checkpoint-cadence only)."""
+        from gphm_tpu.ops.profile1d import trend_ridge_level
+        K, Kd = self._K_and_Kd(params["kernel_paras"])
+        wt = self.llk_weight * jnp.exp(params["log_tau"])
+        return float(trend_ridge_level(
+            K, Kd, self._H64.astype(K.dtype), self._Hdd64.astype(K.dtype),
+            self._bc_mask, wt, jnp.exp(params["log_v"]), self.jitter))
+
     def _u_xx(self, kernel_paras, alpha):
         K_dxx = self.axis.gram(self.kernel, kernel_paras, deriv=2,
                                wide=self.wide_train)

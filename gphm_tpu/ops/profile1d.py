@@ -160,6 +160,29 @@ def _equilibrated_factor(S, jitter):
                            max_tries=0), dsq
 
 
+def trend_ridge_level(K, Kd, H, Hdd, bc_mask, wt, v, jitter):
+    """Which ridge `_equilibrated_factor` selects for the CURRENT system:
+    0.0 = small (4 eps), 1.0 = big (1024 n eps).
+
+    Diagnostic only (off the training hot path): the two-attempt select is
+    value-discontinuous across the regime boundary — the big ridge biases
+    the logdet by whole units on near-singular directions — so a flip
+    between consecutive checkpoints shows up as an otherwise-unexplained
+    marginal-loss jump.  Logged at checkpoint cadence (experiment.py) so
+    such jumps in the metrics stream can be attributed to the ridge, not
+    the optimizer.
+    """
+    S, _ = _augmented_system(K, Kd, H, Hdd, bc_mask, wt, v)
+    n = S.shape[-1]
+    eps = float(jnp.finfo(S.dtype).eps)
+    dsq = jnp.sqrt(jnp.diagonal(S))
+    Shat = S / dsq[:, None] / dsq[None, :]
+    eye = jnp.eye(n, dtype=S.dtype)
+    probe = robust_cholesky(Shat + 4 * eps * eye,
+                            base_jitter=jitter, max_tries=0).L
+    return jnp.where(jnp.all(jnp.isfinite(probe)), 0.0, 1.0)
+
+
 def linear_ut_beta_star(K, Kd, H, Hdd, bc_mask, mb, f, wt, v, jitter):
     """Joint whitened conditional optimum (ut*, beta*) with a polynomial
     trend u = K ut + H beta (universal kriging; see ops/meanfn.py).

@@ -221,3 +221,12 @@ def test_trend_plus_line_beats_plain_gp_on_multiscale_source():
         600, verbose=False, mode="chunked", n_evals=8).min_err
     assert err_mean < 0.5 * err_plain, (err_mean, err_plain)
     assert err_mean < 1e-3, err_mean
+
+
+def test_trend_ridge_level_diagnostic():
+    # ADVICE r2: the two-level ridge select is observable — 0.0 (small)
+    # on a well-posed system, and a strict {0.0, 1.0} float either way
+    solver = make_solver(mean_poly=2)
+    level = solver.trend_ridge_level(moderate_params(solver))
+    assert level in (0.0, 1.0)
+    assert level == 0.0  # N=40 single_sin at moderate params is well-posed
