@@ -22,6 +22,11 @@ run() { timeout "$1" python -m gphm_tpu.cli --no-figures "${@:2}"; }
 run 10800 --out result_log_r3ms --equation poisson_1d-x_time_sinx \
     --multi-start 8 --multi-start-frac 0.05 --multi-start-batch 2
 
+# (No second mix_sin leg: MAP+decay and marginal two-GP are both already
+# measured at 2.8e-2 — campaigns K/L — and the marginal multi-start leg
+# running now shows the walk-away mechanism multi-start cannot fix;
+# recorded as a negative result in PARITY campaign V.)
+
 # --- W: 2D MAP-profiled probes ----------------------------------------
 run 10800 --out result_log_r3w --equation poisson_2d-x2y2_add_sinsin \
     --profile-objective map --nepoch 1500 --n-evals 75
