@@ -388,6 +388,11 @@ def chunked_train(
     # with the initial state so even a first-eval blow-up can roll back
     # (onto fresh optimizer moments) instead of training on NaN.
     recoveries = 0
+    # banded finite explosions (10 < err <= 1e6) must persist across TWO
+    # consecutive evals before they count as divergence — at the sparse
+    # 20-eval cadence a single excursion can be a legitimate optimizer
+    # spike, and a rollback discards the Adam moments (ADVICE round 3)
+    band_pending = False
     copy_tree = partial(jax.tree_util.tree_map, jnp.copy)
     last_good = ((copy_tree(state.params), copy_tree(state.opt_state),
                   start_epoch - 1)
@@ -408,6 +413,15 @@ def chunked_train(
             last_good = ((copy_tree(state.params),
                           copy_tree(state.opt_state), epoch - 1)
                          if nan_policy == "rollback" else None)
+            # the phase-2 compiled program has a different step cost: a
+            # launch cap fit to the phase-1 rate could overshoot
+            # LAUNCH_TARGET_S by the slowdown factor, and the first
+            # post-switch launch of an already-seen length would fold its
+            # compile time into a "warm" rate sample. Forget the phase-1
+            # measurements and re-ramp (the cap itself stays: it can only
+            # shrink further, which is the safe direction).
+            rate[0] = None
+            seen_lengths.clear()
 
         i = epoch - 1
         if i in eval_set:
@@ -422,16 +436,34 @@ def chunked_train(
             # divergence can overflow the latent without reaching inf
             # (measured: the 2D MAP-profiled sin_sin probe rode err ~ 1e72
             # for a thousand epochs, every value finite) — err > 1e6
-            # always fires, and once the run has made real progress
-            # (min_err < 1) so does err > max(10, 1000x the best seen)
-            # (measured: the advection MAP cliff burned 3300 epochs at
-            # finite err 12..353 from a min of 8.4e-3, campaign T). The
-            # floor of 10 keeps legitimate optimizer spikes inside the
-            # band: the largest on record is sin_cos's single-eval 1.38
-            # from min 3.1e-4 (campaign R), 7x under the floor.
-            exploded = err > 1e6 or (min_err < 1.0
-                                     and err > max(10.0, 1e3 * min_err))
-            if not (np.isfinite(loss_f) and np.isfinite(err)) or exploded:
+            # always fires immediately, and once the run has made real
+            # progress (min_err < 1) so does err > max(10, 1000x the best
+            # seen) (measured: the advection MAP cliff burned 3300 epochs
+            # at finite err 12..353 from a min of 8.4e-3, campaign T) —
+            # but the banded form only after TWO consecutive exploded
+            # evals, so a single-eval optimizer spike at sparse cadence
+            # never costs the Adam moments (the largest healthy spike on
+            # record is sin_cos's single-eval 1.38 from min 3.1e-4,
+            # campaign R; the real cliffs persist for many evals).
+            finite = np.isfinite(loss_f) and np.isfinite(err)
+            hard_fail = not finite or err > 1e6
+            banded = (finite and not hard_fail and min_err < 1.0
+                      and err > max(10.0, 1e3 * min_err))
+            if banded and not band_pending:
+                # first banded excursion: record it honestly, keep the
+                # state, arm the two-in-a-row trigger
+                band_pending = True
+                print(f"WARNING: rel-L2 excursion at epoch {i}: "
+                      f"err={err:g} (min {min_err:g}); rollback armed "
+                      f"for the next eval")
+                log["loss_list"].append(loss_f)
+                log["err_list"].append(err)
+                log["epoch_list"].append(i)
+                if on_eval is not None:
+                    on_eval(i, err, loss_f)
+                continue
+            if hard_fail or banded:
+                band_pending = False
                 msg = (f"non-finite/diverged training state at epoch {i}: "
                        f"loss={loss_f}, rel-L2={err}")
                 if nan_policy == "raise":
@@ -465,6 +497,7 @@ def chunked_train(
                           f"continuing at epoch {i}")
                 continue
 
+            band_pending = False  # healthy eval: disarm the trigger
             if err < min_err:
                 min_err = err
                 # keep the argmin state: sharp post-dip drift (two-GP

@@ -79,6 +79,15 @@ def run_sweep(solver, batched_params, nepoch: int, *,
         return params, opt_state, losses[-1]
 
     if mesh is not None:
+        data_size = int(mesh.shape["data"])
+        B = jax.tree_util.tree_leaves(batched_params)[0].shape[0]
+        if B % data_size != 0:
+            raise ValueError(
+                f"sweep batch of {B} variants does not divide the mesh "
+                f"data axis ({data_size}): device_put would fail. Pad the "
+                f"batch to a multiple of {data_size}, resize the mesh, or "
+                f"pass mesh=None.")
+
         def shard_batch(tree):
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(
@@ -197,10 +206,20 @@ def multi_start_train(solver, warmup: int, K: int, *,
     crit_fn = jax.jit(solver._criterion)
     all_crit, all_err = [], []
     best = None  # (criterion, params, opt_state)
+    data_size = int(mesh.shape["data"]) if mesh is not None else 1
     for g0 in range(0, K, B):
+        gsz = min(B, K - g0)  # the final group can be a remainder
+        # groups that do not divide the mesh's data axis train unsharded
+        # (device_put on a non-divisible batch axis fails outright;
+        # documented batch=2..4 on a 1x8 mesh is an easy hit — ADVICE r3)
+        use_mesh = mesh if (gsz > 1 and gsz % data_size == 0) else None
+        if mesh is not None and use_mesh is None and verbose:
+            print(f"  multi-start group [{g0}:{g0 + gsz}] of {gsz} does "
+                  f"not divide the data axis ({data_size}); training it "
+                  f"unsharded")
         sub = jax.tree_util.tree_map(lambda x: x[g0:g0 + B], batched)
         sub, opt_state, errs, _ = run_sweep(
-            solver, sub, warmup, mesh=mesh if B > 1 else None, chunk=chunk,
+            solver, sub, warmup, mesh=use_mesh, chunk=chunk,
             return_state=True)
         crit = np.asarray(jax.vmap(crit_fn)(sub))
         j = int(np.argmin(crit))
