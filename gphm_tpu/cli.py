@@ -102,6 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "exact negative log marginal likelihood via the "
                         "Occam term, proper in every hyperparameter) or "
                         "'map' (the reference's joint-MAP form)")
+    p.add_argument("--occam-2d", default=None, dest="occam_2d",
+                   choices=["separable", "exact"],
+                   help="2D marginal Occam term: 'separable' (default — "
+                        "the eigenbasis surrogate; the only option at the "
+                        "production 400^2) or 'exact' (dense 0.5 logdet S, "
+                        "small grids only — the surrogate's ground truth)")
     p.add_argument("--profile-newton-iters", type=int, default=None,
                    dest="profile_newton_iters",
                    help="profiled Allen-Cahn: damped Gauss-Newton "
@@ -204,7 +210,8 @@ def main(argv=None) -> int:
                      u_mode=args.u_mode, nan_policy=args.nan_policy,
                      profile_cg_iters=args.profile_cg_iters,
                      profile_objective=args.profile_objective,
-                     profile_newton_iters=args.profile_newton_iters)
+                     profile_newton_iters=args.profile_newton_iters,
+                     occam_2d=args.occam_2d)
     if args.reference_protocol:
         overrides["reference_protocol"] = True
     if args.extra:

@@ -188,6 +188,20 @@ class Solver2D:
                 raise ValueError(
                     "profile_objective='marginal' needs the log-determinant "
                     "terms (set logdet: true or profile_objective: 'map')")
+            # Occam-term mode: "separable" (the eigenbasis surrogate — the
+            # only option at the production 400^2) or "exact" (dense
+            # 0.5 logdet S via Cholesky, the surrogate's ground truth —
+            # O((N1 N2)^3), small grids only)
+            self.occam_2d = str(config.get("occam_2d", "separable"))
+            if self.occam_2d not in ("separable", "exact"):
+                raise ValueError(f"unknown occam_2d {self.occam_2d!r} "
+                                 f"(use 'separable' or 'exact')")
+            if self.occam_2d == "exact" and self.N1 * self.N2 > 4096:
+                raise ValueError(
+                    f"occam_2d='exact' assembles the dense "
+                    f"({self.N1 * self.N2})^2 normal operator — use it at "
+                    f"N1*N2 <= 4096 (64^2) only; the production tier is "
+                    f"the separable surrogate")
             # Same tier rule as 1D: the envelope gradient is taken AT the
             # sharp conditional optimum, where refined-tier logdet-gradient
             # error overwhelms the signal — the loss factors run wide-exact
@@ -590,6 +604,31 @@ class Solver2D:
         dbar = (jnp.mean(3.0 * U ** 2 - 1.0)
                 if self.eq_type == "allencahn_2d" else 0.0)
         lb_marg = 0.5 * self.Nb * jnp.log(wt) - 0.5 * wt * boundary_gap
+        if getattr(self, "occam_2d", "separable") == "exact":
+            # dense ground-truth Occam term (small grids): the Laplace
+            # weight for Allen-Cahn uses the full GN diagonal 3U^2 - 1,
+            # not its mean, and the trend directions (if any) enter through
+            # the exact augmented system with the V-beta coupling block
+            from gphm_tpu.ops.kron_profile import occam_logdet_2d_exact
+            from gphm_tpu.ops.profile1d import BETA_PRIOR_PREC
+            dgrid = (jax.lax.stop_gradient(3.0 * U ** 2 - 1.0)
+                     if self.eq_type == "allencahn_2d" else None)
+            d = K1.dtype
+            if self.n_beta:
+                H1D, H2D = ((self._H1dd, self._H2dd)
+                            if self.deriv_order == 2
+                            else (self._H1d, self._H2d))
+                occ = occam_logdet_2d_exact(
+                    K1, Kd1, K2, Kd2, self._bc_mask.astype(d), a1, wt, v,
+                    dgrid=dgrid, H1=self._H1.astype(d), H1D=H1D.astype(d),
+                    H2=self._H2.astype(d), H2D=H2D.astype(d),
+                    eps=jnp.asarray(BETA_PRIOR_PREC, d))
+            else:
+                occ = occam_logdet_2d_exact(
+                    K1, Kd1, K2, Kd2, self._bc_mask.astype(d), a1, wt, v,
+                    dgrid=dgrid)
+            return -(log_prior + lb_marg + eq_ll) \
+                - (self.N2 * ld1 + self.N1 * ld2) + occ
         occ = occam_logdet_2d(K1, Kd1, K2, Kd2, a1, wt, v, dbar=dbar)
         if self.n_beta:
             # trend directions of the Occam surrogate: 0.5 logdet of the

@@ -140,6 +140,70 @@ def occam_logdet_2d(K1, Kd1, K2, Kd2, a1, wt, v, dbar=0.0):
     return 0.5 * jnp.sum(jnp.log(Pd))
 
 
+def s_matrix_2d(K1, Kd1, K2, Kd2, mask, wt, v, a1, dgrid=None):
+    """Exact dense normal operator S in whitened V coordinates — the
+    (N1 N2, N1 N2) matrix the profiled CG applies matrix-free
+    (``profiled_u_star_2d``'s ``sop``), assembled for small grids only
+    (surrogate validation, exact small-N Occam term).
+
+    Row-major vec (numpy ``reshape(-1)`` of the (N1, N2) grid):
+
+        S = G + wt * G D_m G + v * W' W,
+        G = K1 (x) K2,     D_m = diag(vec mask),
+        W = a1 * Kd1 (x) K2 + K1 (x) Kd2  [+ diag(vec dgrid) G],
+
+    where the Kronecker identities use K1/K2 symmetric (Kd1/Kd2 need not
+    be — advection's first-derivative cross-Grams are antisymmetric).
+    ``dgrid`` is the Gauss-Newton diagonal weight (Allen-Cahn: 3 U^2 - 1).
+    Agreement with the matvec is pinned by tests/test_occam2d.py.
+    """
+    G = jnp.kron(K1, K2)
+    W = a1 * jnp.kron(Kd1, K2) + jnp.kron(K1, Kd2)
+    if dgrid is not None:
+        W = W + dgrid.reshape(-1, 1) * G
+    S = G + wt * (G @ (mask.reshape(-1, 1) * G)) + v * (W.T @ W)
+    return 0.5 * (S + S.T)
+
+
+def occam_logdet_2d_exact(K1, Kd1, K2, Kd2, mask, a1, wt, v, dgrid=None,
+                          H1=None, H1D=None, H2=None, H2D=None, eps=None):
+    """Exact 0.5 logdet S — the quantity ``occam_logdet_2d`` surrogates.
+
+    Dense assembly + Cholesky: O((N1 N2)^3), so small grids only (the
+    production 400^2 keeps the separable surrogate; this is the ground
+    truth it is validated against, and an exact small-N objective option
+    via Solver2D config ``occam_2d: 'exact'``).  Same trace-relative ridge
+    as the 1D exact path (ops/profile1d.occam_logdet).
+
+    With the trend bases given, returns 0.5 logdet of the AUGMENTED
+    (V, beta) system — S plus ``trend_block`` plus the exact coupling
+    C = wt G D_m Hk + v W' Wb (Hk = H1 (x) H2, Wb the trend's residual
+    lift) that both the separable surrogate and the solver's additive
+    0.5 logdet Qb term drop.
+
+    Factored via the symmetric equilibration of ops/profile1d
+    (logdet S = logdet Shat + 2 sum log dsqrt): the blocks span ~9+ orders
+    of scale, so a trace-relative ridge would bias the small directions'
+    logdet by whole units (the measured 1D failure mode).
+    """
+    from gphm_tpu.ops.profile1d import _equilibrated_factor
+    S = s_matrix_2d(K1, Kd1, K2, Kd2, mask, wt, v, a1, dgrid=dgrid)
+    if H1 is not None:
+        r1 = jnp.zeros(K1.shape[0], K1.dtype).at[0].set(1.0).at[-1].set(1.0)
+        r2 = jnp.zeros(K2.shape[0], K2.dtype).at[0].set(1.0).at[-1].set(1.0)
+        Qb = trend_block(H1, H1D, H2, H2D, r1, r2, wt, v, a1, eps)
+        G = jnp.kron(K1, K2)
+        Hk = jnp.kron(H1, H2)
+        W = a1 * jnp.kron(Kd1, K2) + jnp.kron(K1, Kd2)
+        if dgrid is not None:
+            W = W + dgrid.reshape(-1, 1) * G
+        Wb = a1 * jnp.kron(H1D, H2) + jnp.kron(H1, H2D)
+        C = wt * (G @ (mask.reshape(-1, 1) * Hk)) + v * (W.T @ Wb)
+        S = jnp.block([[S, C], [C.T, Qb]])
+    F, dsq = _equilibrated_factor(S, 0.0)
+    return 0.5 * F.logdet() + jnp.sum(jnp.log(dsq))
+
+
 def pcg_grid(matvec: Callable, minv: Callable, B, X0, iters: int):
     """Fixed-iteration preconditioned CG on grid-shaped unknowns.
 

@@ -117,6 +117,14 @@ class RunConfig:
                                   # "map": the reference's joint-MAP form,
                                   # improper in the kernel hyperparameters
                                   # once the latent is profiled
+    occam_2d: str = "separable"   # 2D marginal objective's Occam term:
+                                  # "separable" = the eigenbasis surrogate
+                                  # (ops/kron_profile.occam_logdet_2d, the
+                                  # only option at the production 400^2),
+                                  # "exact" = dense 0.5 logdet S via
+                                  # Cholesky — O((N1 N2)^3), small grids
+                                  # only; the ground truth the surrogate is
+                                  # validated against (tools/probe_occam2d)
     mean_poly: int = -1           # polynomial trend degree (universal
                                   # kriging, ops/meanfn.py): u = H beta +
                                   # GP with beta profiled/trained jointly.
@@ -188,6 +196,7 @@ class RunConfig:
             "profile_cg_iters": self.profile_cg_iters,
             "profile_newton_iters": self.profile_newton_iters,
             "profile_objective": self.profile_objective,
+            "occam_2d": self.occam_2d,
         }
 
 
