@@ -102,12 +102,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "exact negative log marginal likelihood via the "
                         "Occam term, proper in every hyperparameter) or "
                         "'map' (the reference's joint-MAP form)")
+    p.add_argument("--occam-weight", type=float, default=None,
+                   dest="occam_weight",
+                   help="evidence tempering: static weight on the marginal "
+                        "objective's Occam correction (0 = improper "
+                        "MAP-like with the marginal boundary normalizer, "
+                        "1 = exact marginal; default 1)")
+    p.add_argument("--occam-schedule", default=None, dest="occam_schedule",
+                   help="piecewise evidence tempering over the budget, "
+                        "'weight:frac,...' e.g. '0:0.4,1:0.6' — MAP speed "
+                        "early, the proper marginal in place before the "
+                        "impropriety cliff (composes with --dtype-schedule "
+                        "on merged segment boundaries)")
     p.add_argument("--occam-2d", default=None, dest="occam_2d",
-                   choices=["separable", "exact"],
+                   choices=["separable", "slq", "exact"],
                    help="2D marginal Occam term: 'separable' (default — "
-                        "the eigenbasis surrogate; the only option at the "
-                        "production 400^2) or 'exact' (dense 0.5 logdet S, "
-                        "small grids only — the surrogate's ground truth)")
+                        "the eigenbasis surrogate), 'slq' (surrogate + "
+                        "stochastic Lanczos estimate of the dropped "
+                        "remainder — the production-scale correction for "
+                        "the surrogate's measured bias at sharp "
+                        "hyperparameters) or 'exact' (dense 0.5 logdet S, "
+                        "small grids only — the ground truth)")
     p.add_argument("--profile-newton-iters", type=int, default=None,
                    dest="profile_newton_iters",
                    help="profiled Allen-Cahn: damped Gauss-Newton "
@@ -124,9 +139,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="warm up this many mixture-frequency "
                         "initializations concurrently (vmapped; data-axis-"
                         "sharded on a mesh) and continue the budget from "
-                        "the best by the training criterion — the "
-                        "optimization-side lever for hard high-frequency "
-                        "configs where a single descent stalls")
+                        "the best by the training criterion. Exploratory "
+                        "only — measured NOT to beat the shipped "
+                        "single-start defaults (PARITY campaign V: "
+                        "x_time_sinx 8-start 1.47e-2 vs 1.98e-3 default; "
+                        "the 1D failure mode is shared by every start, so "
+                        "warmup selection cannot fix it)")
     p.add_argument("--multi-start-frac", type=float, default=None,
                    dest="multi_start_frac",
                    help="fraction of the budget spent on the multi-start "
@@ -211,7 +229,9 @@ def main(argv=None) -> int:
                      profile_cg_iters=args.profile_cg_iters,
                      profile_objective=args.profile_objective,
                      profile_newton_iters=args.profile_newton_iters,
-                     occam_2d=args.occam_2d)
+                     occam_2d=args.occam_2d,
+                     occam_weight=args.occam_weight,
+                     occam_schedule=args.occam_schedule)
     if args.reference_protocol:
         overrides["reference_protocol"] = True
     if args.extra:

@@ -93,21 +93,54 @@ def parse_schedule(spec: str, nepoch: int):
     return segs
 
 
+def merged_schedule(config: RunConfig, nepoch: int):
+    """Merge ``dtype_schedule`` and ``occam_schedule`` into consecutive
+    (dtype, occam_weight, stop_epoch) segments on the union of both
+    boundary sets.  Either schedule may be empty (the config's static
+    value applies throughout)."""
+    dsegs = (parse_schedule(config.dtype_schedule, nepoch)
+             if config.dtype_schedule else [(config.dtype, nepoch)])
+    osegs = ([(float(w), s) for w, s
+              in parse_schedule(config.occam_schedule, nepoch)]
+             if config.occam_schedule
+             else [(float(config.occam_weight), nepoch)])
+    out, di, oi, start = [], 0, 0, 0
+    while di < len(dsegs) and oi < len(osegs):
+        stop = min(dsegs[di][1], osegs[oi][1])
+        if stop > start:
+            out.append((dsegs[di][0], osegs[oi][0], stop))
+            start = stop
+        if dsegs[di][1] == stop:
+            di += 1
+        if osegs[oi][1] == stop:
+            oi += 1
+    return out
+
+
 def _train_scheduled(config: RunConfig, nepoch: int, mesh, *,
                      verbose, on_eval, on_checkpoint, extra_kw, resume_kw,
                      seed: int = 0, stop_epoch=None):
-    """Progressive-precision training: run the single nepoch-budget protocol
-    as consecutive dtype segments with in-memory state handoff.
+    """Scheduled training: run the single nepoch-budget protocol as
+    consecutive (dtype, occam_weight) segments with in-memory state handoff.
 
-    The TPU-native answer to "the hard configs need f64": train the bulk of
-    the budget in fast float32 (the f32 error floor is reached long before
-    the budget runs out) and descend below that floor with a refined-tier
-    tail — full-refined quality at a fraction of full-refined cost (the
-    refined step is ~14x the f32 step at N=400). Eval cadence, min-error
-    tracking, the two-GP phase switch, checkpoints, and resume all keep
-    their absolute-epoch semantics across segment boundaries.
+    Two independent piecewise knobs share the machinery:
+
+    * ``dtype_schedule`` — progressive precision, the TPU-native answer to
+      "the hard configs need f64": train the bulk of the budget in fast
+      float32 (the f32 error floor is reached long before the budget runs
+      out) and descend below that floor with a refined-tier tail — full-
+      refined quality at a fraction of full-refined cost (the refined step
+      is ~14x the f32 step at N=400).
+    * ``occam_schedule`` — evidence tempering for the profiled marginal
+      objective: MAP-like speed early (weight 0 skips the Occam
+      factorization entirely), the proper marginal in place before the
+      MAP impropriety cliff fires (PARITY campaign Z).
+
+    Eval cadence, min-error tracking, the two-GP phase switch, checkpoints,
+    and resume all keep their absolute-epoch semantics across segment
+    boundaries.
     """
-    segments = parse_schedule(config.dtype_schedule, nepoch)
+    segments = merged_schedule(config, nepoch)
     start = int(resume_kw.get("start_epoch", 0))
     state = resume_kw.get("init_state")
     base_params = resume_kw.get("base_params")
@@ -117,7 +150,7 @@ def _train_scheduled(config: RunConfig, nepoch: int, mesh, *,
     merged_log, wall, results = {}, 0.0, []
     last = None
     best_params, best_epoch = None, None
-    for i, (dtype, stop) in enumerate(segments):
+    for i, (dtype, occam_w, stop) in enumerate(segments):
         final_seg = i == len(segments) - 1
         if stop <= start and not (final_seg and last is None):
             # skip already-completed segments; the final segment still runs
@@ -129,7 +162,9 @@ def _train_scheduled(config: RunConfig, nepoch: int, mesh, *,
             if start >= stop_epoch:
                 break
             stop = min(stop, int(stop_epoch))
-        seg_cfg = dataclasses.replace(config, dtype=dtype, dtype_schedule="")
+        seg_cfg = dataclasses.replace(config, dtype=dtype, dtype_schedule="",
+                                      occam_weight=occam_w,
+                                      occam_schedule="")
         solver = make_solver(seg_cfg)
         if state is not None:
             d = solver.policy.dtype
@@ -153,8 +188,8 @@ def _train_scheduled(config: RunConfig, nepoch: int, mesh, *,
         else:
             kw.pop("on_phase_switch", None)
         if verbose:
-            print(f"schedule segment dtype={dtype}: epochs "
-                  f"[{start}, {stop})")
+            print(f"schedule segment dtype={dtype} occam={occam_w}: "
+                  f"epochs [{start}, {stop})")
         res = solver.train(nepoch, **kw)
         results.append(res)
         last = res
@@ -181,7 +216,7 @@ def _train_scheduled(config: RunConfig, nepoch: int, mesh, *,
     out.extras["base_params"] = base_params
     out.extras["best_params"] = best_params
     out.extras["best_epoch"] = best_epoch
-    out.extras["segments"] = [(d, s) for d, s in segments]
+    out.extras["segments"] = [(d, w, s) for d, w, s in segments]
     return out
 
 
@@ -208,12 +243,14 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
         # span via solver_dict's lr_decay_steps)
         config = dataclasses.replace(config, nepoch=nepoch)
     solver_cfg = config
-    if config.dtype_schedule:
+    scheduled = bool(config.dtype_schedule or config.occam_schedule)
+    if scheduled:
         # the driver-level solver (resume templates, post-run prediction and
         # figures) evaluates at the schedule's final-segment tier
+        fin_dtype, fin_ow, _ = merged_schedule(config, nepoch)[-1]
         solver_cfg = dataclasses.replace(
-            config, dtype=parse_schedule(config.dtype_schedule, nepoch)[-1][0],
-            dtype_schedule="")
+            config, dtype=fin_dtype, dtype_schedule="",
+            occam_weight=fin_ow, occam_schedule="")
     solver = make_solver(solver_cfg)
     mesh = None
     if config.mesh:
@@ -389,7 +426,7 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
         if verbose:
             print(f"fold {fold}: {config.equation} / {config.kernel} "
                   f"({nepoch} epochs)")
-        if config.dtype_schedule:
+        if scheduled:
             res = _train_scheduled(config, nepoch, mesh, verbose=verbose,
                                    on_eval=on_eval,
                                    on_checkpoint=on_checkpoint,

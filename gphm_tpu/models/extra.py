@@ -129,8 +129,14 @@ class Solver1DExtra(Solver1D):
                 u_tot = u_base + u_extra
                 B = Kd + (3.0 * u_tot ** 2 - 1.0) * K
             lb_marg = 0.5 * self.N_b * jnp.log(wt) - 0.5 * wt * boundary_gap
-            return -(log_prior + lb_marg + eq_ll) - F.logdet() \
-                + occam_logdet(K, B, self._bc_mask, wt, v, self.jitter)
+            base = -(log_prior + lb_marg + eq_ll)
+            # evidence tempering (see Solver1D._loss / --occam-schedule)
+            ow = float(getattr(self, "occam_weight", 1.0))
+            if ow == 0.0:
+                return base
+            corr = occam_logdet(K, B, self._bc_mask, wt, v,
+                                self.jitter) - F.logdet()
+            return base + ow * corr
 
         return loss_extra
 

@@ -169,6 +169,10 @@ class Solver1D:
                 raise ValueError(
                     f"unknown profile_objective "
                     f"{self.profile_objective!r} (use 'marginal' or 'map')")
+            # Evidence tempering: static weight on the Occam correction
+            # (0 = improper MAP-like, 1 = exact marginal); scheduled
+            # across budget segments by --occam-schedule (experiment.py)
+            self.occam_weight = float(config.get("occam_weight", 1.0))
             if self.profile_objective == "marginal" \
                     and not config.get("logdet", True):
                 raise ValueError(
@@ -435,11 +439,21 @@ class Solver1D:
         B = Kd if self.eq_type == "poisson_1d" \
             else Kd + (3.0 * u ** 2 - 1.0) * K
         lb_marginal = 0.5 * self.N_b * jnp.log(wt) - 0.5 * wt * boundary_gap
+        base = -(log_prior + lb_marginal + eq_ll)
+        # Evidence tempering (occam_weight / --occam-schedule): scale the
+        # whole Occam correction (0.5 logdet S - logdet K) by a static
+        # weight. 0 = the improper MAP-like objective with the marginal's
+        # boundary normalizer (fast early descent), 1 = the exact marginal;
+        # a schedule ramps properness in before the MAP impropriety cliff
+        # (the mix_sin shipped default's documented failure) can fire.
+        ow = float(getattr(self, "occam_weight", 1.0))
+        if ow == 0.0:
+            return base  # skip the extra S factorization entirely
         H = self._H64.astype(K.dtype) if self.n_beta else None
         Hdd = self._Hdd64.astype(K.dtype) if self.n_beta else None
-        return -(log_prior + lb_marginal + eq_ll) - F.logdet() \
-            + occam_logdet(K, B, self._bc_mask, wt, v, self.jitter,
-                           H=H, Hdd=Hdd)
+        corr = occam_logdet(K, B, self._bc_mask, wt, v, self.jitter,
+                            H=H, Hdd=Hdd) - F.logdet()
+        return base + ow * corr
 
     def _predict(self, params, cross=None):
         """Posterior mean at test points: Kmn K^-1 u

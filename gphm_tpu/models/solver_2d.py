@@ -188,14 +188,23 @@ class Solver2D:
                 raise ValueError(
                     "profile_objective='marginal' needs the log-determinant "
                     "terms (set logdet: true or profile_objective: 'map')")
+            # Evidence tempering: static weight on the Occam correction
+            # (0 = improper MAP-like, 1 = exact marginal); scheduled
+            # across budget segments by --occam-schedule (experiment.py)
+            self.occam_weight = float(config.get("occam_weight", 1.0))
             # Occam-term mode: "separable" (the eigenbasis surrogate — the
             # only option at the production 400^2) or "exact" (dense
             # 0.5 logdet S via Cholesky, the surrogate's ground truth —
             # O((N1 N2)^3), small grids only)
+            # "slq" = the separable value plus a stochastic Lanczos
+            # estimate of the remainder logdet(P^-1/2 S P^-1/2) — the
+            # production-scale correction for the surrogate's measured
+            # bias at sharp hyperparameters (tools/probe_occam2d.py);
+            # probe/iteration counts ride the slq_probes/slq_iters knobs
             self.occam_2d = str(config.get("occam_2d", "separable"))
-            if self.occam_2d not in ("separable", "exact"):
+            if self.occam_2d not in ("separable", "exact", "slq"):
                 raise ValueError(f"unknown occam_2d {self.occam_2d!r} "
-                                 f"(use 'separable' or 'exact')")
+                                 f"(use 'separable', 'slq' or 'exact')")
             if self.occam_2d == "exact" and self.N1 * self.N2 > 4096:
                 raise ValueError(
                     f"occam_2d='exact' assembles the dense "
@@ -604,6 +613,12 @@ class Solver2D:
         dbar = (jnp.mean(3.0 * U ** 2 - 1.0)
                 if self.eq_type == "allencahn_2d" else 0.0)
         lb_marg = 0.5 * self.Nb * jnp.log(wt) - 0.5 * wt * boundary_gap
+        base = -(log_prior + lb_marg + eq_ll)
+        # Evidence tempering (see Solver1D._loss): ow scales the whole
+        # Occam correction (0.5 logdet S - logdet G); 0 skips it entirely
+        ow = float(getattr(self, "occam_weight", 1.0))
+        if ow == 0.0:
+            return base
         if getattr(self, "occam_2d", "separable") == "exact":
             # dense ground-truth Occam term (small grids): the Laplace
             # weight for Allen-Cahn uses the full GN diagonal 3U^2 - 1,
@@ -627,9 +642,21 @@ class Solver2D:
                 occ = occam_logdet_2d_exact(
                     K1, Kd1, K2, Kd2, self._bc_mask.astype(d), a1, wt, v,
                     dgrid=dgrid)
-            return -(log_prior + lb_marg + eq_ll) \
-                - (self.N2 * ld1 + self.N1 * ld2) + occ
-        occ = occam_logdet_2d(K1, Kd1, K2, Kd2, a1, wt, v, dbar=dbar)
+            return base \
+                + ow * (occ - (self.N2 * ld1 + self.N1 * ld2))
+        if self.occam_2d == "slq":
+            # separable value + stochastic Lanczos estimate of the
+            # remainder the surrogate drops (fixed probes; Hutchinson
+            # gradient through the same preconditioned CG). Trend
+            # directions still enter through the additive beta block
+            # below (the V-beta coupling stays dropped on this tier).
+            from gphm_tpu.ops.kron_profile import occam_logdet_2d_slq
+            occ = occam_logdet_2d_slq(
+                K1, Kd1, K2, Kd2, a1, wt, v, dbar=dbar,
+                probes=self.slq_probes, lanczos_iters=self.slq_iters,
+                cg_iters=self.profile_cg_iters)
+        else:
+            occ = occam_logdet_2d(K1, Kd1, K2, Kd2, a1, wt, v, dbar=dbar)
         if self.n_beta:
             # trend directions of the Occam surrogate: 0.5 logdet of the
             # exact dense beta-block (ops/kron_profile.trend_block — the
@@ -653,8 +680,7 @@ class Solver2D:
             # LuDecomposition, which TPU implements for f32 only
             from gphm_tpu.ops.chol import robust_cholesky
             occ = occ + 0.5 * robust_cholesky(Qb, max_tries=0).logdet()
-        return -(log_prior + lb_marg + eq_ll) \
-            - (self.N2 * ld1 + self.N1 * ld2) + occ
+        return base + ow * (occ - (self.N2 * ld1 + self.N1 * ld2))
 
     def _predict(self, params):
         """Per-dimension cross-kernel posterior mean

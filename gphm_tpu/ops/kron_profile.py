@@ -204,6 +204,91 @@ def occam_logdet_2d_exact(K1, Kd1, K2, Kd2, mask, a1, wt, v, dgrid=None,
     return 0.5 * F.logdet() + jnp.sum(jnp.log(dsq))
 
 
+def occam_logdet_2d_slq(K1, Kd1, K2, Kd2, a1, wt, v, dbar=0.0, *,
+                        probes: int = 8, lanczos_iters: int = 24,
+                        cg_iters: int = 60, seed: int = 0):
+    """Production-tier corrected Occam term: 0.5 logdet S with the
+    separable surrogate's bias removed stochastically (round-3 VERDICT #2;
+    the surrogate alone is measured badly biased at trained sharp
+    hyperparameters — tools/probe_occam2d.py: value off by ~7.7e3 nats,
+    freq-gradient cosine ~0 at N=48 sin_sin ep600).
+
+    Split  logdet S = sum log Pd + logdet(P^-1/2 S P^-1/2):  P is the
+    separable eigenbasis diagonal (``precond_diag`` — the SAME operator
+    that preconditions the profiled CG), so the stochastic part only
+    estimates the *remainder* the surrogate misses, on an operator whose
+    spectrum is clustered near 1 wherever the surrogate is good — few
+    Lanczos iterations suffice exactly when the correction is small.
+
+    VALUE: stochastic Lanczos quadrature (ops/slq.py machinery inlined on
+    the grid matvec) with fixed Rademacher probes (deterministic across
+    steps — a fixed probe set's bias is constant and does not steer Adam).
+    GRADIENT: Hutchinson coupling with the same probes,
+        d logdet S ~ (1/m) sum_m (S^-1 z_m)' dS z_m,
+    with S^-1 z_m from the eigenbasis-preconditioned CG (``pcg_grid``) —
+    never differentiates through the Lanczos recurrence. Assembled with
+    the standard value + (g - stop_grad(g)) carrier, so no custom VJP.
+    """
+    from gphm_tpu.ops.slq import _quadrature_logdet, rademacher_probes
+
+    s1 = axis_spec(K1, Kd1)
+    s2 = axis_spec(K2, Kd2)
+    Pd = precond_diag(a1, wt, v, s1, s2, dbar=dbar)
+    N1, N2 = Pd.shape
+    n = N1 * N2
+    Kd2t = Kd2.T
+
+    # the matvec of profiled_u_star_2d with the rank-2 edge mask (1 on
+    # edges, 2 on corners = r_i + c_j) applied explicitly; the scalar GN
+    # weight dbar enters both the lift and its adjoint (mean-field
+    # Allen-Cahn — consistent with the diagonal this module preconditions)
+    def sop(V):
+        P1 = K1 @ V
+        T = P1 @ K2
+        W = a1 * ((Kd1 @ V) @ K2) + P1 @ Kd2t + dbar * T
+        bnd = jnp.zeros_like(T)
+        bnd = bnd.at[0, :].add(T[0, :]).at[-1, :].add(T[-1, :])
+        bnd = bnd.at[:, 0].add(T[:, 0]).at[:, -1].add(T[:, -1])
+        adj = a1 * (Kd1.T @ W @ K2) + K1 @ (W @ Kd2) \
+            + dbar * (K1 @ W @ K2)
+        return T + wt * (K1 @ bnd @ K2) + v * adj
+
+    sqP = jnp.sqrt(Pd)
+
+    def to_eig(X):
+        return s1.Q.T @ X @ s2.Q
+
+    def from_eig(X):
+        return s1.Q @ X @ s2.Q.T
+
+    def m_op(x):
+        # P^-1/2 S P^-1/2 on flat vectors (symmetric preconditioning)
+        X = from_eig(to_eig(x.reshape(N1, N2)) / sqP)
+        Y = sop(X)
+        return from_eig(to_eig(Y) / sqP).reshape(-1)
+
+    Z = jax.lax.stop_gradient(rademacher_probes(n, probes, K1.dtype,
+                                                seed=seed))
+    corr = _quadrature_logdet(m_op, Z, lanczos_iters)
+    value = jax.lax.stop_gradient(0.5 * corr) \
+        + 0.5 * jnp.sum(jnp.log(jax.lax.stop_gradient(Pd)))
+
+    # Hutchinson gradient carrier: (1/m) sum (S^-1 z)' dS z with the
+    # solves under stop_gradient through the SAME preconditioned CG the
+    # profiled engine uses
+    def minv(R):
+        return from_eig(to_eig(R) / Pd)
+
+    Zg = jax.lax.stop_gradient(Z.T.reshape(probes, N1, N2))
+    Ys = jax.vmap(lambda z: pcg_grid(
+        lambda V: jax.lax.stop_gradient(sop(V)), minv, z,
+        jnp.zeros_like(z), cg_iters)[0])(Zg)
+    Ys = jax.lax.stop_gradient(Ys)
+    carrier = 0.5 * jnp.mean(
+        jax.vmap(lambda y, z: jnp.vdot(y, sop(z)))(Ys, Zg))
+    return value + carrier - jax.lax.stop_gradient(carrier)
+
+
 def pcg_grid(matvec: Callable, minv: Callable, B, X0, iters: int):
     """Fixed-iteration preconditioned CG on grid-shaped unknowns.
 

@@ -117,14 +117,32 @@ class RunConfig:
                                   # "map": the reference's joint-MAP form,
                                   # improper in the kernel hyperparameters
                                   # once the latent is profiled
+    occam_weight: float = 1.0     # evidence tempering: static weight on
+                                  # the marginal objective's Occam
+                                  # correction (0.5 logdet S - logdet K).
+                                  # 0 = improper MAP-like objective with
+                                  # the marginal's boundary normalizer
+                                  # (fast early descent), 1 = the exact
+                                  # marginal (proper, bounded)
+    occam_schedule: str = ""      # piecewise evidence tempering over the
+                                  # budget, e.g. "0:0.4,1:0.6" = weight 0
+                                  # for the first 40% of epochs then the
+                                  # full Occam term — MAP speed early,
+                                  # properness in place before the MAP
+                                  # impropriety cliff fires (the mix_sin
+                                  # rollback dependence, PARITY campaign Z)
     occam_2d: str = "separable"   # 2D marginal objective's Occam term:
                                   # "separable" = the eigenbasis surrogate
-                                  # (ops/kron_profile.occam_logdet_2d, the
-                                  # only option at the production 400^2),
-                                  # "exact" = dense 0.5 logdet S via
-                                  # Cholesky — O((N1 N2)^3), small grids
-                                  # only; the ground truth the surrogate is
-                                  # validated against (tools/probe_occam2d)
+                                  # (ops/kron_profile.occam_logdet_2d),
+                                  # "slq" = surrogate + stochastic Lanczos
+                                  # estimate of the dropped remainder (the
+                                  # production-scale bias correction;
+                                  # probe/iter counts via slq_probes /
+                                  # slq_iters), "exact" = dense 0.5 logdet
+                                  # S via Cholesky — O((N1 N2)^3), small
+                                  # grids only; the ground truth the other
+                                  # two are validated against
+                                  # (tools/probe_occam2d.py)
     mean_poly: int = -1           # polynomial trend degree (universal
                                   # kriging, ops/meanfn.py): u = H beta +
                                   # GP with beta profiled/trained jointly.
@@ -197,6 +215,7 @@ class RunConfig:
             "profile_newton_iters": self.profile_newton_iters,
             "profile_objective": self.profile_objective,
             "occam_2d": self.occam_2d,
+            "occam_weight": self.occam_weight,
         }
 
 
@@ -213,6 +232,7 @@ class RunConfig:
 REFERENCE_RESET = dict(
     u_mode="adam", freq_init="linspace", mean_poly=-1, lr_decay=1.0,
     multi_start=1, dtype_schedule="", n_evals=20, phase_exact="auto",
+    occam_weight=1.0, occam_schedule="",
     nan_policy="warn", dtype="float32", profile_objective="marginal",
 )
 

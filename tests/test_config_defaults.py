@@ -42,15 +42,16 @@ SHIPPED = {
     "poisson_2d-sin_add_cos": dict(dtype="float32", nepoch=1000000),
     "poisson_2d-sin_cos": dict(dtype="float32", nepoch=1000000),
     "allencahn_2d-mix-sincos": dict(dtype="float32", jitter=1e-5),
+    # MAP hedge shipped by campaign W (0.0221 @ 1500 vs the marginal
+    # default's 0.0797 @ 3000 — the surrogate-biased marginal ascent,
+    # tools/probe_occam2d.py); dense eval cadence keeps the profiled
+    # chunks short (a 150-epoch chunk at N=400 trips the device launch
+    # watchdog, campaign U crash post-mortem)
     "poisson_2d-x2y2_add_sinsin": dict(dtype="refined", u_mode="profiled",
-                                       profile_objective="marginal",
+                                       profile_objective="map",
                                        freq_init="spectral", mean_poly=2,
                                        profile_cg_iters=100, lr_decay=0.1,
-                                       # short launches: a 150-epoch
-                                       # profiled chunk at N=400 trips the
-                                       # device launch watchdog (campaign
-                                       # U crash post-mortem)
-                                       n_evals=150, nepoch=3000),
+                                       n_evals=75, nepoch=1500),
     "advection-sin": dict(dtype="refined", u_mode="profiled",
                           profile_objective="map", freq_init="spectral",
                           profile_cg_iters=200, jitter=1e-6, lr_decay=0.1,

@@ -31,10 +31,13 @@ def test_load_all_reference_configs():
         "allencahn_1d-sin_cos": dict(N_col=400),
         "poisson_2d-sin_sin": dict(N_col=400),
         "poisson_2d-sin_add_cos": dict(N_col=200, nepoch=1000000),
-        "allencahn_2d-mix-sincos": dict(N_col=400, nepoch=1000000,
+        # epoch budgets are the reference's own (run_2d.sh:27-29; the
+        # round-3 advisor flagged the earlier reduced pins as measuring
+        # reference-protocol parity at the wrong budget)
+        "allencahn_2d-mix-sincos": dict(N_col=400, nepoch=3000000,
                                         freq_scale=30),
         "advection-sin": dict(N_col=200, llk_weight=500, freq_scale=40,
-                              beta=200, nepoch=200000),
+                              beta=200, nepoch=1000000),
     }
     for eq, fields in expect.items():
         # reference_protocol: the shipped YAML defaults are the headline
@@ -180,7 +183,8 @@ def test_schedule_f32_to_refined_improves_floor():
         out_base=None, verbose=False, figures=False)
     r = res.fold_results[0]
     assert np.isfinite(r.log["err_list"]).all()
-    assert r.extras["segments"] == [("float32", 20), ("refined", 40)]
+    assert r.extras["segments"] == [("float32", 1.0, 20),
+                                    ("refined", 1.0, 40)]
     assert len(r.log["err_list"]) == 20
 
 

@@ -182,6 +182,62 @@ def test_exact_occam_rejects_large_grids():
         make_solver(N=70, occam_2d="exact")
 
 
+def test_slq_occam_tracks_exact_value_and_gradient():
+    """The SLQ-corrected term (occam_2d='slq') = separable value + Lanczos
+    quadrature of the preconditioned remainder. At a moderate point it must
+    beat the bare surrogate's value error and track the exact gradient
+    (Hutchinson with 16 fixed probes measured at cos 0.997 / relerr 0.08
+    here — the fixed-seed bias is constant across steps)."""
+    from gphm_tpu.ops.kron_profile import occam_logdet_2d_slq
+    solver = make_solver(N=12)
+    p = moderate_params(solver)
+
+    def wrap(fn, **kw):
+        def f(params):
+            K1, Kd1, K2, Kd2, wt, v, a1 = grams(solver, params)
+            if fn is occam_logdet_2d:
+                return fn(K1, Kd1, K2, Kd2, a1, wt, v)
+            if fn is occam_logdet_2d_exact:
+                return fn(K1, Kd1, K2, Kd2, solver._bc_mask, a1, wt, v)
+            return fn(K1, Kd1, K2, Kd2, a1, wt, v, **kw)
+        return jax.value_and_grad(f)(p)
+
+    ve, ge = wrap(occam_logdet_2d_exact)
+    vs, _ = wrap(occam_logdet_2d)
+    vq, gq = wrap(occam_logdet_2d_slq, probes=16, lanczos_iters=40,
+                  cg_iters=200)
+    assert abs(float(vq - ve)) < 0.3 * abs(float(vs - ve)) + 1e-6
+
+    def flat(g):
+        return jnp.concatenate(
+            [jnp.atleast_1d(g["log_tau"]), jnp.atleast_1d(g["log_v"])]
+            + [g[ax][leaf].reshape(-1)
+               for ax in ("kernel_paras_1", "kernel_paras_2")
+               for leaf in sorted(g[ax])])
+
+    fe, fq = flat(ge), flat(gq)
+    cos = float(jnp.vdot(fe, fq)
+                / (jnp.linalg.norm(fe) * jnp.linalg.norm(fq)))
+    assert cos > 0.98
+    assert float(jnp.linalg.norm(fq - fe) / jnp.linalg.norm(fe)) < 0.2
+
+
+def test_slq_occam_drives_the_solver_loss():
+    """occam_2d='slq' composes with the profiled marginal loss end to end
+    (finite value, finite envelope gradient)."""
+    solver = make_solver(N=12, occam_2d="slq", slq_probes=4, slq_iters=20)
+    p = moderate_params(solver)
+
+    def profiled_loss(params):
+        V = jax.lax.stop_gradient(solver._u_star(params))
+        return solver._loss({**params, "U": V})
+
+    val, g = jax.value_and_grad(profiled_loss)(p)
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+
+
 def test_surrogate_tracks_exact_gradient_direction():
     """Measured relationship (tools/probe_occam2d.py): at moderate
     hyperparameters the separable surrogate's gradient points within ~25
