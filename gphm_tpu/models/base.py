@@ -154,19 +154,33 @@ def make_step_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
 def make_chunk_runner(loss_fn: Callable,
                       optimizer: optax.GradientTransformation,
                       prepare: Optional[Callable] = None):
-    """Jitted scan over a static number of steps; returns final loss only."""
+    """Jitted step loop with a DYNAMIC trip count; returns final loss only.
+
+    ``nsteps`` is a traced operand (``lax.fori_loop``), not a static jit
+    argument: the runner compiles ONCE per training phase no matter how
+    launch lengths vary. The static-length scan it replaces re-lowered the
+    full step body for every distinct launch length the adaptive sizing in
+    ``chunked_train`` produced (ramp, steady, remainder); on the refined
+    profiled tier a single such compile takes minutes, which starved
+    dense-eval-cadence runs outright (measured: the round-4 x_time_sinx
+    shipped-default leg delivered ONE eval in 1500 s). ``lax.scan`` lowers
+    to the same XLA While, so the dynamic bound costs nothing per step.
+    The first step runs outside the loop: ``nsteps >= 1`` always holds
+    here, and it gives the carried loss its concrete dtype without an
+    extra ``eval_shape``.
+    """
     step_fn = make_step_fn(loss_fn, optimizer, prepare)
 
-    @partial(jax.jit, static_argnums=(2,), donate_argnums=(0, 1))
-    def run_chunk(params, opt_state, nsteps: int):
-        def body(carry, _):
-            params, opt_state = carry
-            params, opt_state, loss = step_fn(params, opt_state)
-            return (params, opt_state), loss
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run_chunk(params, opt_state, nsteps):
+        params, opt_state, loss = step_fn(params, opt_state)
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), xs=None, length=nsteps)
-        return params, opt_state, losses[-1]
+        def body(_, carry):
+            p, o, _ = carry
+            return step_fn(p, o)
+
+        return jax.lax.fori_loop(0, nsteps - 1, body,
+                                 (params, opt_state, loss))
 
     return run_chunk
 
@@ -349,12 +363,13 @@ def chunked_train(
     # the TPU worker, while ~17 s launches ride through). The cap adapts to
     # the measured step rate: the first launches are a short ramp, the warm
     # rate then sets a steady launch length that fits LAUNCH_TARGET_S of
-    # device time, quantized to powers of two so the number of distinct
-    # compiled scan lengths stays small (scan compile cost is length-
-    # independent — the body compiles once).
+    # device time, quantized to powers of two to keep the length sequence
+    # stable. The chunk runner takes the length as a traced operand, so
+    # only the FIRST launch after (re)construction pays a compile — any
+    # launch after that is warm regardless of its length.
     LAUNCH_TARGET_S = 20.0
     RAMP = 8
-    seen_lengths: set = set()
+    seen_lengths: set = set()  # non-empty <=> the runner has compiled
     rate = [None]  # warm seconds/step (best observed)
 
     def run_steps(nsteps):
@@ -363,7 +378,7 @@ def chunked_train(
         while nsteps > 0:
             cap = max_launch if rate[0] is not None else RAMP
             k = min(nsteps, cap)
-            warm = k in seen_lengths
+            warm = bool(seen_lengths)
             t0 = time.time()
             state.params, state.opt_state, loss = state.run_chunk(
                 state.params, state.opt_state, k)

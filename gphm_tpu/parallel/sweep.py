@@ -67,16 +67,19 @@ def run_sweep(solver, batched_params, nepoch: int, *,
 
     opt_state = jax.vmap(optimizer.init)(batched_params)
 
-    @partial(jax.jit, static_argnums=(2,), donate_argnums=(0, 1))
+    # nsteps is a traced operand (see models.base.make_chunk_runner): one
+    # compile covers every launch length the adaptive sizing below emits.
+    @partial(jax.jit, donate_argnums=(0, 1))
     def run_chunk(params, opt_state, nsteps):
-        def body(carry, _):
-            p, o = carry
-            p, o, loss = jax.vmap(step)(p, o)
-            return (p, o), loss
+        params, opt_state, loss = jax.vmap(step)(params, opt_state)
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), xs=None, length=nsteps)
-        return params, opt_state, losses[-1]
+        def body(_, carry):
+            p, o, _ = carry
+            p, o, l = jax.vmap(step)(p, o)
+            return (p, o, l)
+
+        return jax.lax.fori_loop(0, nsteps - 1, body,
+                                 (params, opt_state, loss))
 
     if mesh is not None:
         data_size = int(mesh.shape["data"])
@@ -102,8 +105,8 @@ def run_sweep(solver, batched_params, nepoch: int, *,
     # a vmapped refined-tier step can cost >100 ms, so a fixed 1000-step
     # launch runs for minutes and trips the TPU worker watchdog (observed
     # live, campaign U2). Ramp short, measure the warm rate, then fit each
-    # launch to ~20 s of device time (power-of-two lengths keep the number
-    # of compiled scan lengths small; scan compile cost is length-free).
+    # launch to ~20 s of device time (the dynamic-length runner compiles
+    # once; every launch after the first is warm whatever its length).
     LAUNCH_TARGET_S = 20.0
     RAMP = 8
     seen: set = set()
@@ -113,7 +116,7 @@ def run_sweep(solver, batched_params, nepoch: int, *,
     while done < nepoch:
         cap = chunk if rate is not None else RAMP
         k = min(cap, nepoch - done)
-        warm = k in seen
+        warm = bool(seen)
         t0 = time.time()
         batched_params, opt_state, loss = run_chunk(
             batched_params, opt_state, k)
