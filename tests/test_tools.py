@@ -73,6 +73,15 @@ def test_time_to_tolerance_adam_baseline(tmp_path):
     _write_stream(tmp_path, "poisson_1d-mix_sin", 300,
                   [rec(0, 0.9, 1.0), rec(200, 0.008, 20.0)],
                   u_mode="profiled")
+    # a wall-capped adam stream: configured budget 1e6, evidence stops at
+    # the last OBSERVED eval (ep 200000) -> the lower bound must use the
+    # observed epoch, not the epoch_1000000 path segment
+    _write_stream(tmp_path, "poisson_1d-x_time_sinx", 1000000,
+                  [rec(0, 0.9, 1.0), rec(200000, 0.04, 700.0)],
+                  u_mode="adam")
+    _write_stream(tmp_path, "poisson_1d-x_time_sinx", 300,
+                  [rec(0, 0.9, 1.0), rec(200, 0.008, 20.0)],
+                  u_mode="profiled", extra="-p")
 
     out = subprocess.run(
         [sys.executable,
@@ -85,6 +94,9 @@ def test_time_to_tolerance_adam_baseline(tmp_path):
     assert ">49965s (>2498x; adam not <1e-2 in 1000000 ep)" in out.stdout
     # no adam stream: same-epoch bound 200*49.965ms ~ 10s over 20s wall
     assert ">=10s (>=0.5x, same-epoch bound)" in out.stdout
+    # wall-capped adam stream: bound from the observed epoch 200000
+    # (200000*49.965ms ~ 9993s over 20s wall), NOT the configured 1e6
+    assert ">9993s (>500x; adam not <1e-2 in 200000 ep)" in out.stdout
 
 
 def test_graft_entry_importable():

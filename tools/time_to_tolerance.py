@@ -16,8 +16,9 @@ The reference baseline is honest about what is actually known:
   epoch times the reference's measured per-epoch wall (1D N=400:
   49.965 ms, 2D 400^2: 90.589 ms — its two shipped smoke anchors).
 * If the scanned adam streams for an equation never cross, the baseline
-  is a LOWER bound: the largest adam budget seen times the per-epoch
-  wall, printed with ``>``.
+  is a LOWER bound: the largest adam epoch actually OBSERVED in any
+  stream (not the configured budget — a wall-capped stream's evidence
+  stops at its last eval) times the per-epoch wall, printed with ``>``.
 * With no adam stream at all, the fallback is the same-epoch
   extrapolation (reference per-epoch wall at the row's own crossing
   epoch), printed with ``>=`` — a gross lower bound for reduced-budget
@@ -115,7 +116,7 @@ def collect(bases):
             # Streams predating the u_mode field are all adam-protocol.
             rows.append(dict(base=base, equation=eq, metrics=metrics,
                              c2=c2, c3=c3, min_err=min_err,
-                             n_evals=n, wall=wall,
+                             n_evals=n, wall=wall, last_ep=last_ep,
                              u_mode=meta.get("u_mode", "adam"),
                              budget=budget_epochs(run_dir, last_ep)))
     return rows
@@ -124,7 +125,9 @@ def collect(bases):
 def adam_baselines(rows):
     """Per equation: the best adam-protocol evidence for the reference's
     time-to-1e-2 — a crossing epoch if any adam stream crossed, else the
-    largest adam budget that did NOT cross (a lower bound)."""
+    largest adam epoch OBSERVED without a crossing (a lower bound; the
+    configured epoch_<N> budget is NOT evidence when the stream was
+    wall-capped before reaching it)."""
     ref = {}
     for r in rows:
         if r["u_mode"] != "adam":
@@ -134,8 +137,9 @@ def adam_baselines(rows):
             ep = r["c2"][0]
             if cur is None or not cur["crossed"] or ep < cur["ep"]:
                 ref[eq] = dict(crossed=True, ep=ep)
-        elif cur is None or (not cur["crossed"] and r["budget"] > cur["ep"]):
-            ref[eq] = dict(crossed=False, ep=r["budget"])
+        elif cur is None or (not cur["crossed"]
+                             and r["last_ep"] > cur["ep"]):
+            ref[eq] = dict(crossed=False, ep=r["last_ep"])
     return ref
 
 
