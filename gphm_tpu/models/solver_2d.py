@@ -441,7 +441,17 @@ class Solver2D:
 
         U = (K1 @ V) @ K2
         lin = lin_lift(V)
-        for _ in range(self.profile_newton_iters):
+
+        # lax.fori_loop, NOT a Python loop: the unrolled form lowered
+        # profile_newton_iters copies of the CG solve into one program —
+        # at newton 6 / cg 100 on the refined tier the remote compile of
+        # that program blocked the (serializing) terminal compiler for
+        # >45 min and with it every other client (measured live,
+        # 2026-08-20). The GN result is consumed under stop_gradient
+        # (envelope gradient), so forward-only fori_loop semantics are
+        # exactly what is needed.
+        def gn_body(_, carry):
+            U, V, lin = carry
             Un, Vn = profiled_u_star_2d(
                 K1, Kd1, K2, Kd2, self._bc_mask, self._bc_grid,
                 src + 2.0 * U ** 3, wt, v, a1, V, self.profile_cg_iters,
@@ -465,7 +475,10 @@ class Solver2D:
                             (Ue - 2.0 * self._bc_grid) * self._bc_mask * Ue))
 
             eta = etas[jnp.argmin(jax.vmap(phi)(etas))]
-            U, V, lin = U + eta * dU, V + eta * dV, lin + eta * dlin
+            return U + eta * dU, V + eta * dV, lin + eta * dlin
+
+        _, V, _ = jax.lax.fori_loop(0, self.profile_newton_iters,
+                                    gn_body, (U, V, lin))
         return V.astype(params["U"].dtype)
 
     def _trend_terms(self, params, dtype):

@@ -267,9 +267,13 @@ def gauss_newton_ut_star(K, Kd, bc_mask, mb, f, wt, v, jitter, ut0,
         return (0.5 * wt * jnp.sum(mask * u ** 2 - 2.0 * u * mb)
                 + 0.5 * v * jnp.sum(r ** 2))
 
-    ut = ut0
-    u, lin = K @ ut, Kd @ ut
-    for _ in range(iters):
+    # lax.fori_loop, NOT a Python loop: unrolling lowered ``iters`` copies
+    # of the factor-and-refine solve into one program (see the 2D twin in
+    # models/solver_2d.py for the measured remote-compile consequence).
+    # Every caller consumes the result under stop_gradient (envelope
+    # gradient), so forward-only loop semantics suffice.
+    def gn_body(_, carry):
+        ut, u, lin = carry
         d = dphi(shift + u)
         B = Kd + d * K  # J: rows scaled by the pointwise derivative
         # affine GN target J ut_k - r(ut_k) = d.u - phi(shift+u) + f
@@ -289,5 +293,7 @@ def gauss_newton_ut_star(K, Kd, bc_mask, mb, f, wt, v, jitter, ut0,
             return 0.5 * q + data_terms(u + eta * du, lin + eta * dlin)
 
         eta = etas[jnp.argmin(jax.vmap(obj)(etas))]
-        ut, u, lin = ut + eta * dut, u + eta * du, lin + eta * dlin
+        return ut + eta * dut, u + eta * du, lin + eta * dlin
+
+    ut, _, _ = jax.lax.fori_loop(0, iters, gn_body, (ut0, K @ ut0, Kd @ ut0))
     return ut
