@@ -258,3 +258,22 @@ def test_run_experiment_profiled_2d_product_surface(tmp_path):
                     dtype="float64", u_mode="profiled"),
         out_base=str(tmp_path), verbose=False, figures=False)
     assert np.isfinite(res.err_mean)
+
+
+def test_gn_program_size_is_iteration_count_independent():
+    """The AC Gauss-Newton loop must lower to a single fori_loop body, not
+    newton_iters unrolled copies: the unrolled program's remote compile
+    blocked the (serializing) terminal compiler for >45 min on the axon
+    backend and with it every other client (2026-08-20). Lowered-HLO text
+    length is the proxy: it must not scale with profile_newton_iters."""
+    def u_star_hlo(iters):
+        prob = make_problem("allencahn_2d-mix-sincos", N_col=12, scale=0.25)
+        solver = Solver2D(prob, "Matern52_Cos_1d",
+                          dict(CFG, Q=4, profile_cg_iters=20,
+                               profile_newton_iters=iters), POLICY)
+        p = solver.init_params()
+        return jax.jit(solver._u_star).lower(p).as_text()
+
+    small, big = len(u_star_hlo(2)), len(u_star_hlo(10))
+    assert big < 1.3 * small, (
+        f"GN program grows with newton iters: {small} -> {big} chars")
