@@ -24,8 +24,52 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def wait_for_device(max_wait_s: float) -> bool:
+    """Block until a trivial device op completes (True) or give up (False).
+
+    The axon backend's terminal can wedge for >1 h (a serializing remote
+    compiler monopolized by one giant program — observed 2026-08-20, see
+    PARITY "Round-4 incident"). A wedged device would hang this process
+    at the first array op with no output; probing in a SUBPROCESS keeps
+    this process's JAX runtime untouched so a late recovery still works.
+    """
+    import subprocess
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools", "tpu_probe.py")],
+                timeout=120, capture_output=True)
+            if r.returncode == 0:
+                return True
+            log("device probe failed; retrying",
+                r.stderr.decode(errors="replace")[-200:])
+        except subprocess.TimeoutExpired:
+            log("device probe hung (120 s); retrying")
+        if time.time() >= deadline:
+            return False
+        time.sleep(60)
+
+
 def main():
     import jax
+
+    budget = float(os.environ.get("BENCH_DEVICE_WAIT_S", "1800"))
+    try:
+        healthy = wait_for_device(budget)
+    except Exception as e:  # probe subprocess timeout etc.
+        log("device probe errored:", e)
+        healthy = False
+    if not healthy:
+        print(json.dumps({
+            "metric": "per_epoch_ms_1d_n400", "value": 0, "unit": "ms",
+            "vs_baseline": 0,
+            "error": "TPU terminal unresponsive past probe budget "
+                     "(see PARITY 'Round-4 incident'); no measurement",
+        }))
+        return
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
