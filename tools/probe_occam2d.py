@@ -139,18 +139,24 @@ def run_leg(equation, occam, **kw):
 
 
 def ab(equation, **kw):
+    """Three-way outcome A/B: separable surrogate vs the production SLQ
+    correction vs the exact dense logdet S — identical protocols. The
+    separable/exact ratio answers 'is the marginal ascent
+    surrogate-limited'; the slq/exact ratio answers 'does the production
+    correction recover the exact outcome' (the TPU y2 leg's question, at
+    a grid where the exact term is computable)."""
     print(f"\n=== Leg B/C: A/B on {equation} (N={N}, scale 1) ===")
-    sol_s, st_s, err_s, dt_s = run_leg(equation, "separable", **kw)
-    print(f"  separable: {dt_s:.0f}s  " + "  ".join(
-        f"ep{e}: min {m:.3e} last {l:.3e}" for e, m, l in err_s))
-    sol_e, st_e, err_e, dt_e = run_leg(equation, "exact", **kw)
-    print(f"  exact:     {dt_e:.0f}s  " + "  ".join(
-        f"ep{e}: min {m:.3e} last {l:.3e}" for e, m, l in err_e))
-    ratio = err_s[-1][1] / max(err_e[-1][1], 1e-300)
+    results = {}
+    for occam in ("separable", "slq", "exact"):
+        sol, st, errs, dt = run_leg(equation, occam, **kw)
+        results[occam] = errs
+        print(f"  {occam:9s}: {dt:.0f}s  " + "  ".join(
+            f"ep{e}: min {m:.3e} last {l:.3e}" for e, m, l in errs))
+    ratio = results["separable"][-1][1] / max(results["exact"][-1][1], 1e-300)
+    rs = results["slq"][-1][1] / max(results["exact"][-1][1], 1e-300)
     print(f"  min-err ratio separable/exact at ep{EPOCHS[-1]}: {ratio:.2f} "
           f"({'surrogate-limited' if ratio > 2 else 'NOT surrogate-limited'} "
-          f"at this scale)")
-    return st_s
+          f"at this scale); slq/exact: {rs:.2f}")
 
 
 def main():
