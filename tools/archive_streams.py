@@ -20,8 +20,16 @@ import shutil
 import sys
 
 KEEP = ("log.txt", "metrics_fold0.jsonl")
-META = ("latest.npz.json", "params_best_fold0.npz.json",
-        "params_fold0.npz.json")
+# The resume checkpoint (weights + opt state) and the best-params
+# snapshot are archived IN FULL, not just their JSON sidecars: round 4
+# measured the cost of sidecar-only archiving when the machine rotated
+# mid-campaign and the mix_sin reference-stream resume leg found only
+# latest.npz.json — 222,500 epochs of stream unresumable. latest.npz is
+# 3-17 KB for 1D runs and ~2 MB for the largest 2D grid, cheap against
+# the wall-clock it protects.
+META = ("latest.npz", "latest.npz.json",
+        "params_best_fold0.npz", "params_best_fold0.npz.json",
+        "params_fold0.npz", "params_fold0.npz.json")
 
 
 def archive(base: str, dest_root: str = "artifacts") -> int:
@@ -29,9 +37,7 @@ def archive(base: str, dest_root: str = "artifacts") -> int:
     tag = os.path.basename(base.rstrip(os.sep)).replace("result_log_", "")
     for dirpath, _, files in os.walk(base):
         chosen = [f for f in files if f in KEEP]
-        meta = next((f for f in META if f in files), None)
-        if meta:
-            chosen.append(meta)
+        chosen += [f for f in META if f in files]
         if not chosen:
             continue
         rel = os.path.relpath(dirpath, base)
@@ -43,7 +49,33 @@ def archive(base: str, dest_root: str = "artifacts") -> int:
     return n
 
 
+def restore(tag: str, src_root: str = "artifacts") -> int:
+    """Copy ``artifacts/<tag>`` back to ``result_log_<tag>`` so that
+    ``--resume`` finds the stream after a round rotation wiped it."""
+    src = os.path.join(src_root, tag)
+    if not os.path.isdir(src):
+        print(f"no archived campaign at {src}")
+        return 0
+    dest = f"result_log_{tag}"
+    n = 0
+    for dirpath, _, files in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        os.makedirs(os.path.join(dest, rel), exist_ok=True)
+        for f in files:
+            shutil.copy2(os.path.join(dirpath, f),
+                         os.path.join(dest, rel, f))
+            n += 1
+    return n
+
+
 def main(argv):
+    if argv and argv[0] == "--restore":
+        total = 0
+        for tag in argv[1:]:
+            n = restore(tag.replace("result_log_", ""))
+            print(f"{tag}: {n} files restored")
+            total += n
+        return 0 if total else 1
     bases = argv or sorted(glob.glob("result_log_r4*"))
     total = 0
     for base in bases:
