@@ -104,3 +104,46 @@ def test_graft_entry_importable():
 
     assert callable(g.entry)
     assert callable(g.dryrun_multichip)
+
+
+def test_archive_streams_roundtrip_keeps_resume_checkpoint(tmp_path):
+    """Archiving must preserve the resume checkpoint npz IN FULL (the
+    round-4 rotation lost a 222k-epoch stream because only the JSON
+    sidecar was archived), and --restore must rebuild a result_log dir
+    the experiment layer's --resume can find."""
+    src = tmp_path / "result_log_abc"
+    d = src / "poisson_1d-mix_sin" / "kernel_Matern52_Cos_1d" \
+        / "epoch_1000" / "Q30"
+    d.mkdir(parents=True)
+    (d / "metrics_fold0.jsonl").write_text('{"epoch": 0}\n')
+    (d / "log.txt").write_text("err 0.5\n")
+    (d / "latest.npz").write_bytes(b"\x93NUMPY-fake-binary-payload")
+    (d / "latest.npz.json").write_text('{"num_leaves": 1}')
+    (d / "debug_scratch.bin").write_bytes(b"x")  # must NOT be archived
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "archive_streams.py"),
+         str(src)], capture_output=True, text=True, check=True,
+        cwd=tmp_path)
+
+    arch = tmp_path / "artifacts" / "abc" / "poisson_1d-mix_sin" \
+        / "kernel_Matern52_Cos_1d" / "epoch_1000" / "Q30"
+    assert (arch / "latest.npz").read_bytes() \
+        == b"\x93NUMPY-fake-binary-payload"
+    assert (arch / "latest.npz.json").exists()
+    assert (arch / "metrics_fold0.jsonl").exists()
+    assert not (arch / "debug_scratch.bin").exists()
+
+    # wipe the working dir (round rotation), then restore it
+    import shutil as _sh
+    _sh.rmtree(src)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "archive_streams.py"),
+         "--restore", "abc"], capture_output=True, text=True, check=True,
+        cwd=tmp_path)
+    rest = tmp_path / "result_log_abc" / "poisson_1d-mix_sin" \
+        / "kernel_Matern52_Cos_1d" / "epoch_1000" / "Q30"
+    assert (rest / "latest.npz").read_bytes() \
+        == b"\x93NUMPY-fake-binary-payload"
+    assert (rest / "log.txt").exists()
