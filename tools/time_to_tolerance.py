@@ -101,7 +101,7 @@ def budget_epochs(run_dir: str, fallback: int) -> int:
 
 
 def collect(bases):
-    rows = []
+    rows, seen = [], set()
     for base in bases:
         for metrics in sorted(glob.glob(os.path.join(
                 base, "**", "metrics_fold0.jsonl"), recursive=True)):
@@ -112,6 +112,21 @@ def collect(bases):
             c2, c3, min_err, n, wall, last_ep = crossings(metrics)
             if not n:
                 continue
+            # The same stream often exists twice — in the committed
+            # artifacts/ archive (where the campaign tag is the first
+            # path component) and in a (restored) result_log_<tag>
+            # working dir (where it is part of the base name). One table
+            # row per distinct stream: key on (tag, run-relative path,
+            # last observed epoch/wall).
+            rel = os.path.relpath(run_dir, base)
+            tag = os.path.basename(base.rstrip(os.sep))
+            if tag == "artifacts":
+                tag, _, rel = rel.partition(os.sep)
+            tag = tag.replace("result_log_", "")
+            key = (tag, rel, last_ep, round(wall, 3))
+            if key in seen:
+                continue
+            seen.add(key)
             meta = run_meta(run_dir)
             # Streams predating the u_mode field are all adam-protocol.
             rows.append(dict(base=base, equation=eq, metrics=metrics,
