@@ -108,6 +108,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "objective's Occam correction (0 = improper "
                         "MAP-like with the marginal boundary normalizer, "
                         "1 = exact marginal; default 1)")
+    p.add_argument("--occam-ramp", type=float, default=None,
+                   dest="occam_ramp",
+                   help="continuous evidence-tempering ramp: Occam weight "
+                        "grows 0 -> occam_weight over this fraction of the "
+                        "budget from ep0 (no discontinuity for the MAP "
+                        "impropriety cliff to fire at; cf. --occam-schedule)")
     p.add_argument("--occam-schedule", default=None, dest="occam_schedule",
                    help="piecewise evidence tempering over the budget, "
                         "'weight:frac,...' e.g. '0:0.4,1:0.6' — MAP speed "
@@ -127,6 +133,12 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="profile_newton_iters",
                    help="profiled Allen-Cahn: damped Gauss-Newton "
                         "iterations per step (default 3)")
+    p.add_argument("--final-params", default=None, dest="final_params",
+                   choices=["last", "best"],
+                   help="'best': end the run at the argmin-eval snapshot "
+                        "instead of the budget-end params (walk-away "
+                        "containment for profiled marginal tails; "
+                        "'last' = reference semantics)")
     p.add_argument("--nan-policy", default=None, dest="nan_policy",
                    choices=["rollback", "warn", "raise"],
                    help="non-finite-state handling at an eval point: "
@@ -231,7 +243,9 @@ def main(argv=None) -> int:
                      profile_newton_iters=args.profile_newton_iters,
                      occam_2d=args.occam_2d,
                      occam_weight=args.occam_weight,
-                     occam_schedule=args.occam_schedule)
+                     occam_schedule=args.occam_schedule,
+                     occam_ramp=args.occam_ramp,
+                     final_params=args.final_params)
     if args.reference_protocol:
         overrides["reference_protocol"] = True
     if args.extra:

@@ -146,6 +146,11 @@ def make_step_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if "_epoch" in params:
+            # device-side step counter for continuous loss schedules (the
+            # Occam tempering ramp): frozen in the optimizer, advanced
+            # here, read under stop_gradient by the loss
+            params = {**params, "_epoch": params["_epoch"] + 1.0}
         return params, opt_state, loss
 
     return step
@@ -326,6 +331,17 @@ def chunked_train(
                                              # the rise counter pre-switch)
     n_evals: int = 20,                       # eval-cadence points per budget
                                              # (reference hard-codes 20)
+    final_state: str = "last",               # "last" (reference semantics:
+                                             # the params at the budget end)
+                                             # | "best" (the argmin-eval
+                                             # snapshot — walk-away
+                                             # containment, VERDICT r4 #8:
+                                             # profiled single-GP marginal
+                                             # tails can drift several x off
+                                             # their own min after the last
+                                             # improvement; "best" makes the
+                                             # run END at its best state, so
+                                             # the final error IS min_err)
     verbose: bool = True,
 ) -> TrainResult:
     """Run the reference training protocol with scan-fused epochs.
@@ -579,6 +595,13 @@ def chunked_train(
             print(f"WARNING: segment end state at epoch {end - 1} is "
                   f"non-finite; rolling checkpoint not updated")
 
+    if final_state == "best" and best_params is not None:
+        # hand back the argmin-eval snapshot as THE final state (the
+        # metrics stream still records the full trajectory, walk-away
+        # included; opt_state stays the last one — an Adam moment set
+        # matched to different params is not meaningful to resume from,
+        # and resume reads the rolling checkpoint, not this)
+        state.params = best_params
     return TrainResult(params=state.params, opt_state=state.opt_state,
                        log=log, min_err=min_err,
                        early_stopping=early_stopping,

@@ -132,10 +132,18 @@ class Solver1DExtra(Solver1D):
             base = -(log_prior + lb_marg + eq_ll)
             # evidence tempering (see Solver1D._loss / --occam-schedule)
             ow = float(getattr(self, "occam_weight", 1.0))
-            if ow == 0.0:
+            ramp = int(getattr(self, "occam_ramp_epochs", 0))
+            if ow == 0.0 and not ramp:
                 return base
             corr = occam_logdet(K, B, self._bc_mask, wt, v,
                                 self.jitter) - F.logdet()
+            if ramp:
+                # continuous tempering ramp (see Solver1D._loss): the
+                # counter keeps running across the two-GP phase switch
+                frac = jnp.clip(jax.lax.stop_gradient(
+                    params_extra["_epoch"]).astype(corr.dtype) / ramp,
+                    0.0, 1.0)
+                return base + (frac * (ow if ow > 0.0 else 1.0)) * corr
             return base + ow * corr
 
         return loss_extra
@@ -175,6 +183,10 @@ class Solver1DExtra(Solver1D):
                 "log-ls": jnp.zeros((1,), d),
             },
             "u": jnp.zeros((self.N_col, 1), ud),
+            # continue the Occam tempering counter across the phase switch
+            # (see Solver1D.init_params; absent when the ramp is off)
+            **({"_epoch": jnp.copy(base_params["_epoch"])}
+               if "_epoch" in base_params else {}),
         }
 
     # ------------------------------------------------------------------

@@ -173,6 +173,17 @@ class Solver1D:
             # (0 = improper MAP-like, 1 = exact marginal); scheduled
             # across budget segments by --occam-schedule (experiment.py)
             self.occam_weight = float(config.get("occam_weight", 1.0))
+            # Continuous tempering RAMP from ep0 (round-4 VERDICT #4: the
+            # campaign-Z piecewise schedule was a measured double negative
+            # — any plausible late window still contains a MAP-gradient
+            # segment for the cliff to fire in). occam_ramp_epochs > 0
+            # scales the Occam correction by min(1, epoch/R) read from a
+            # device-side counter, so the objective is (weakly) proper
+            # from the first step and properness grows with no
+            # discontinuity anywhere.
+            self.occam_ramp_epochs = int(config.get("occam_ramp_epochs", 0))
+            if self.occam_ramp_epochs > 0:
+                freeze = list(freeze or []) + ["_epoch"]
             if self.profile_objective == "marginal" \
                     and not config.get("logdet", True):
                 raise ValueError(
@@ -447,12 +458,22 @@ class Solver1D:
         # a schedule ramps properness in before the MAP impropriety cliff
         # (the mix_sin shipped default's documented failure) can fire.
         ow = float(getattr(self, "occam_weight", 1.0))
-        if ow == 0.0:
+        ramp = int(getattr(self, "occam_ramp_epochs", 0))
+        if ow == 0.0 and not ramp:
             return base  # skip the extra S factorization entirely
         H = self._H64.astype(K.dtype) if self.n_beta else None
         Hdd = self._Hdd64.astype(K.dtype) if self.n_beta else None
         corr = occam_logdet(K, B, self._bc_mask, wt, v, self.jitter,
                             H=H, Hdd=Hdd) - F.logdet()
+        if ramp:
+            # continuous tempering ramp: weight grows 0 -> occam_weight
+            # over the first `ramp` epochs (device-side counter, see
+            # make_step_fn); max(ow, ...) lets occam_weight < 1 act as a
+            # floor-free target, stop_gradient keeps the counter inert
+            frac = jnp.clip(
+                jax.lax.stop_gradient(params["_epoch"]).astype(corr.dtype)
+                / ramp, 0.0, 1.0)
+            return base + (frac * (ow if ow > 0.0 else 1.0)) * corr
         return base + ow * corr
 
     def _predict(self, params, cross=None):
@@ -537,6 +558,11 @@ class Solver1D:
             # trend coefficients: profiled (closed form) in profiled mode,
             # an ordinary Adam leaf otherwise
             params["beta"] = jnp.zeros((self.n_beta, 1), ud)
+        if getattr(self, "occam_ramp_epochs", 0) > 0:
+            # device-side step counter for the Occam tempering ramp
+            # (frozen in the optimizer, advanced by make_step_fn; f32
+            # counts integers exactly to 2^24 — every shipped budget fits)
+            params["_epoch"] = jnp.zeros((), jnp.float32)
         return params
 
     def param_log(self, params):
@@ -606,4 +632,5 @@ class Solver1D:
             stop_epoch=stop_epoch,
             min_err0=min_err0, error_increase_count0=error_increase_count0,
             max_launch=200 if self.wide_train else 5000,
-            n_evals=n_evals, verbose=verbose)
+            n_evals=n_evals, verbose=verbose,
+            final_state=str(self.config.get("final_params", "last")))

@@ -192,6 +192,12 @@ class Solver2D:
             # (0 = improper MAP-like, 1 = exact marginal); scheduled
             # across budget segments by --occam-schedule (experiment.py)
             self.occam_weight = float(config.get("occam_weight", 1.0))
+            # Continuous tempering ramp from ep0 (see Solver1D.__init__):
+            # weight min(1, epoch/R) on the Occam correction via a frozen
+            # device-side counter leaf
+            self.occam_ramp_epochs = int(config.get("occam_ramp_epochs", 0))
+            if self.occam_ramp_epochs > 0:
+                freeze = list(freeze or []) + ["_epoch"]
             # Occam-term mode: "separable" (the eigenbasis surrogate — the
             # only option at the production 400^2) or "exact" (dense
             # 0.5 logdet S via Cholesky, the surrogate's ground truth —
@@ -628,10 +634,17 @@ class Solver2D:
         lb_marg = 0.5 * self.Nb * jnp.log(wt) - 0.5 * wt * boundary_gap
         base = -(log_prior + lb_marg + eq_ll)
         # Evidence tempering (see Solver1D._loss): ow scales the whole
-        # Occam correction (0.5 logdet S - logdet G); 0 skips it entirely
+        # Occam correction (0.5 logdet S - logdet G); 0 skips it entirely.
+        # With occam_ramp_epochs set, ow becomes the traced continuous
+        # ramp min(1, epoch/R) (device-side counter, see make_step_fn).
         ow = float(getattr(self, "occam_weight", 1.0))
-        if ow == 0.0:
+        ramp = int(getattr(self, "occam_ramp_epochs", 0))
+        if ow == 0.0 and not ramp:
             return base
+        if ramp:
+            ow = jnp.clip(
+                jax.lax.stop_gradient(params["_epoch"]).astype(U.dtype)
+                / ramp, 0.0, 1.0) * (ow if ow > 0.0 else 1.0)
         if getattr(self, "occam_2d", "separable") == "exact":
             # dense ground-truth Occam term (small grids): the Laplace
             # weight for Allen-Cahn uses the full GN diagonal 3U^2 - 1,
@@ -667,7 +680,8 @@ class Solver2D:
             occ = occam_logdet_2d_slq(
                 K1, Kd1, K2, Kd2, a1, wt, v, dbar=dbar,
                 probes=self.slq_probes, lanczos_iters=self.slq_iters,
-                cg_iters=self.profile_cg_iters)
+                cg_iters=self.profile_cg_iters,
+                cv=bool(self.config.get("slq_cv", True)))
         else:
             occ = occam_logdet_2d(K1, Kd1, K2, Kd2, a1, wt, v, dbar=dbar)
         if self.n_beta:
@@ -798,6 +812,9 @@ class Solver2D:
         if self.n_beta:
             # separable trend coefficient grid, an ordinary Adam leaf
             params["beta"] = jnp.zeros((self.n_beta, self.n_beta), ud)
+        if getattr(self, "occam_ramp_epochs", 0) > 0:
+            # Occam tempering ramp counter (see Solver1D.init_params)
+            params["_epoch"] = jnp.zeros((), jnp.float32)
         return params
 
     def param_log(self, params):
@@ -877,4 +894,5 @@ class Solver2D:
             stop_epoch=stop_epoch,
             min_err0=min_err0, error_increase_count0=error_increase_count0,
             max_launch=200 if self.wide_train else 5000,
-            n_evals=n_evals, verbose=verbose)
+            n_evals=n_evals, verbose=verbose,
+            final_state=str(self.config.get("final_params", "last")))

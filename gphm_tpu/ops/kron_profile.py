@@ -206,7 +206,8 @@ def occam_logdet_2d_exact(K1, Kd1, K2, Kd2, mask, a1, wt, v, dgrid=None,
 
 def occam_logdet_2d_slq(K1, Kd1, K2, Kd2, a1, wt, v, dbar=0.0, *,
                         probes: int = 8, lanczos_iters: int = 24,
-                        cg_iters: int = 60, seed: int = 0):
+                        cg_iters: int = 60, seed: int = 0,
+                        cv: bool = True):
     """Production-tier corrected Occam term: 0.5 logdet S with the
     separable surrogate's bias removed stochastically (round-3 VERDICT #2;
     the surrogate alone is measured badly biased at trained sharp
@@ -223,10 +224,28 @@ def occam_logdet_2d_slq(K1, Kd1, K2, Kd2, a1, wt, v, dbar=0.0, *,
     VALUE: stochastic Lanczos quadrature (ops/slq.py machinery inlined on
     the grid matvec) with fixed Rademacher probes (deterministic across
     steps — a fixed probe set's bias is constant and does not steer Adam).
-    GRADIENT: Hutchinson coupling with the same probes,
-        d logdet S ~ (1/m) sum_m (S^-1 z_m)' dS z_m,
-    with S^-1 z_m from the eigenbasis-preconditioned CG (``pcg_grid``) —
-    never differentiates through the Lanczos recurrence. Assembled with
+
+    GRADIENT (``cv=True``, the round-5 stabilized default): exact
+    separable gradient + control-variated Hutchinson remainder,
+
+        d logdet S = d sum log Pd                       (exact, autodiff
+                                                         through the
+                                                         Rayleigh diags)
+                   + (1/m) sum_m [(S^-1 z)' dS z - (P^-1 z)' dP z],
+
+    with both solves under stop_gradient (S^-1 z from the eigenbasis-
+    preconditioned CG, P^-1 z exactly in the eigenbasis). The bracket
+    estimates d[logdet S - sum log Pd]; wherever P ~ S — most of the
+    spectrum, by construction — the two Hutchinson terms cancel
+    probe-by-probe, so the estimator's variance scales with the size of
+    the remainder instead of with |d logdet S| itself. The round-4
+    in-loop divergence (campaign Y2: the plain-Hutchinson gradient
+    replaced the ENTIRE separable gradient with a noisy estimate whose
+    noise concentrated exactly on the sharp-mixture freq directions;
+    excursion to 6.9e4 at ep250) is the measured failure this removes.
+    ``cv=False`` keeps the round-4 estimator for A/B measurement.
+
+    Never differentiates through the Lanczos recurrence. Assembled with
     the standard value + (g - stop_grad(g)) carrier, so no custom VJP.
     """
     from gphm_tpu.ops.slq import _quadrature_logdet, rademacher_probes
@@ -270,12 +289,7 @@ def occam_logdet_2d_slq(K1, Kd1, K2, Kd2, a1, wt, v, dbar=0.0, *,
     Z = jax.lax.stop_gradient(rademacher_probes(n, probes, K1.dtype,
                                                 seed=seed))
     corr = _quadrature_logdet(m_op, Z, lanczos_iters)
-    value = jax.lax.stop_gradient(0.5 * corr) \
-        + 0.5 * jnp.sum(jnp.log(jax.lax.stop_gradient(Pd)))
 
-    # Hutchinson gradient carrier: (1/m) sum (S^-1 z)' dS z with the
-    # solves under stop_gradient through the SAME preconditioned CG the
-    # profiled engine uses
     def minv(R):
         return from_eig(to_eig(R) / Pd)
 
@@ -284,8 +298,29 @@ def occam_logdet_2d_slq(K1, Kd1, K2, Kd2, a1, wt, v, dbar=0.0, *,
         lambda V: jax.lax.stop_gradient(sop(V)), minv, z,
         jnp.zeros_like(z), cg_iters)[0])(Zg)
     Ys = jax.lax.stop_gradient(Ys)
+
+    if not cv:
+        # round-4 estimator (measured divergent in-loop, kept for A/B):
+        # value's separable part frozen, gradient entirely Hutchinson
+        value = jax.lax.stop_gradient(0.5 * corr) \
+            + 0.5 * jnp.sum(jnp.log(jax.lax.stop_gradient(Pd)))
+        carrier = 0.5 * jnp.mean(
+            jax.vmap(lambda y, z: jnp.vdot(y, sop(z)))(Ys, Zg))
+        return value + carrier - jax.lax.stop_gradient(carrier)
+
+    # CV estimator: exact separable gradient (Pd differentiable) +
+    # control-variated Hutchinson remainder
+    value = jax.lax.stop_gradient(0.5 * corr) + 0.5 * jnp.sum(jnp.log(Pd))
+
+    def pop(X):
+        # the separable approximation P as a differentiable operator:
+        # Q (Pd . Q' X Q) Q' with the basis frozen (axis_spec)
+        return from_eig(Pd * to_eig(X))
+
+    YsP = jax.lax.stop_gradient(jax.vmap(minv)(Zg))
     carrier = 0.5 * jnp.mean(
-        jax.vmap(lambda y, z: jnp.vdot(y, sop(z)))(Ys, Zg))
+        jax.vmap(lambda ys, yp, z: jnp.vdot(ys, sop(z))
+                 - jnp.vdot(yp, pop(z)))(Ys, YsP, Zg))
     return value + carrier - jax.lax.stop_gradient(carrier)
 
 

@@ -35,16 +35,27 @@ def _flatten(tree):
 
 
 def save_checkpoint(path: str, tree, meta: Optional[dict] = None) -> None:
-    """Save any pytree (params, opt_state, (params, opt_state), ...)."""
+    """Save any pytree (params, opt_state, (params, opt_state), ...).
+
+    Writes are atomic (temp file + ``os.replace``): the rolling
+    ``latest.npz`` is copied by tools/archive_streams.py while runs are
+    live, and a torn write would defeat the full-checkpoint archiving
+    guarantee it exists to provide (advisor round-4 finding)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     leaves, treedef = _flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    np.savez(path, **arrays)
+    if not path.endswith(".npz"):
+        path = path + ".npz"   # np.savez appends .npz; pin it for replace()
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
     side = {"num_leaves": len(leaves), "treedef": str(treedef)}
     if meta:
         side["meta"] = meta
-    with open(path + ".json", "w") as f:
+    tmpj = path + ".json.tmp"
+    with open(tmpj, "w") as f:
         json.dump(side, f, indent=2, default=str)
+    os.replace(tmpj, path + ".json")
 
 
 def load_checkpoint(path: str, template):

@@ -124,6 +124,16 @@ class RunConfig:
                                   # the marginal's boundary normalizer
                                   # (fast early descent), 1 = the exact
                                   # marginal (proper, bounded)
+    occam_ramp: float = 0.0       # continuous evidence-tempering RAMP from
+                                  # ep0 (round-4 VERDICT #4): the Occam
+                                  # correction's weight grows linearly
+                                  # 0 -> occam_weight over this fraction of
+                                  # the epoch budget, read per step from a
+                                  # device-side counter — no MAP-gradient
+                                  # segment exists for the impropriety
+                                  # cliff to fire in, unlike the piecewise
+                                  # occam_schedule (campaign Z's measured
+                                  # double negative). 0 = off.
     occam_schedule: str = ""      # piecewise evidence tempering over the
                                   # budget, e.g. "0:0.4,1:0.6" = weight 0
                                   # for the first 40% of epochs then the
@@ -180,6 +190,14 @@ class RunConfig:
                                   # exact anyway — so the ~17% step cost
                                   # (round-2 bench regression) buys nothing
                                   # (tools/profile_numerics.py, round 3)
+    final_params: str = "last"    # "best": the run's final state is the
+                                  # argmin-eval snapshot instead of the
+                                  # budget-end params — walk-away
+                                  # containment for profiled single-GP
+                                  # marginal tails that drift off their own
+                                  # min after the last improvement
+                                  # (x_time_sinx, PARITY campaign X).
+                                  # "last" = reference semantics.
     mesh: str = ""                # "DPxTP" device mesh ('1x8', '2x4'):
                                   # latent grid sharded on the model axis,
                                   # data axis for concurrent sweeps
@@ -216,6 +234,9 @@ class RunConfig:
             "profile_objective": self.profile_objective,
             "occam_2d": self.occam_2d,
             "occam_weight": self.occam_weight,
+            "occam_ramp_epochs": (int(self.occam_ramp * self.nepoch)
+                                  if self.occam_ramp > 0 else 0),
+            "final_params": self.final_params,
         }
 
 
@@ -232,7 +253,8 @@ class RunConfig:
 REFERENCE_RESET = dict(
     u_mode="adam", freq_init="linspace", mean_poly=-1, lr_decay=1.0,
     multi_start=1, dtype_schedule="", n_evals=20, phase_exact="auto",
-    occam_weight=1.0, occam_schedule="",
+    occam_weight=1.0, occam_schedule="", occam_ramp=0.0,
+    final_params="last",
     nan_policy="warn", dtype="float32", profile_objective="marginal",
 )
 

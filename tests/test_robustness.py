@@ -426,3 +426,27 @@ def test_nan_rollback_identical_to_warn_when_finite():
         nepoch=40, verbose=False, nan_policy="rollback")
     assert r1.log["err_list"] == r2.log["err_list"]
     assert r2.extras["nan_recoveries"] == 0
+
+
+def test_final_params_best_returns_argmin_state():
+    """final_params='best' (walk-away containment, round-4 VERDICT #8):
+    the run's final params must BE the argmin-eval snapshot, so the
+    user-facing final error equals the reported min."""
+    prob = make_problem("poisson_1d-single_sin", N_col=32, scale=2 * np.pi)
+    s_best = Solver1D(prob, "Matern52_Cos_1d",
+                      dict(CFG, final_params="best"), POLICY)
+    res = s_best.train(nepoch=200, verbose=False, mode="chunked")
+    bp = res.extras["best_params"]
+    assert bp is not None
+    for a, b in zip(jax.tree_util.tree_leaves(res.params),
+                    jax.tree_util.tree_leaves(bp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(s_best.eval_err(res.params)) == pytest.approx(
+        res.min_err, rel=1e-12)
+
+    # default ("last") keeps reference semantics: final != best whenever
+    # the trajectory kept moving after the min (assert only the plumbing:
+    # the field exists and defaults off)
+    s_last = Solver1D(prob, "Matern52_Cos_1d", dict(CFG), POLICY)
+    res2 = s_last.train(nepoch=200, verbose=False, mode="chunked")
+    assert res2.extras["best_params"] is not None

@@ -117,7 +117,10 @@ def test_archive_streams_roundtrip_keeps_resume_checkpoint(tmp_path):
     d.mkdir(parents=True)
     (d / "metrics_fold0.jsonl").write_text('{"epoch": 0}\n')
     (d / "log.txt").write_text("err 0.5\n")
-    (d / "latest.npz").write_bytes(b"\x93NUMPY-fake-binary-payload")
+    # a REAL (tiny) npz: archive() validates npz readability post-copy
+    import numpy as _np
+    _np.savez(d / "latest.npz", leaf_0=_np.arange(3.0))
+    npz_bytes = (d / "latest.npz").read_bytes()
     (d / "latest.npz.json").write_text('{"num_leaves": 1}')
     (d / "debug_scratch.bin").write_bytes(b"x")  # must NOT be archived
 
@@ -125,12 +128,11 @@ def test_archive_streams_roundtrip_keeps_resume_checkpoint(tmp_path):
     subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "archive_streams.py"),
          str(src)], capture_output=True, text=True, check=True,
-        cwd=tmp_path)
+        cwd=tmp_path, env=env)
 
     arch = tmp_path / "artifacts" / "abc" / "poisson_1d-mix_sin" \
         / "kernel_Matern52_Cos_1d" / "epoch_1000" / "Q30"
-    assert (arch / "latest.npz").read_bytes() \
-        == b"\x93NUMPY-fake-binary-payload"
+    assert (arch / "latest.npz").read_bytes() == npz_bytes
     assert (arch / "latest.npz.json").exists()
     assert (arch / "metrics_fold0.jsonl").exists()
     assert not (arch / "debug_scratch.bin").exists()
@@ -141,9 +143,22 @@ def test_archive_streams_roundtrip_keeps_resume_checkpoint(tmp_path):
     subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "archive_streams.py"),
          "--restore", "abc"], capture_output=True, text=True, check=True,
-        cwd=tmp_path)
+        cwd=tmp_path, env=env)
     rest = tmp_path / "result_log_abc" / "poisson_1d-mix_sin" \
         / "kernel_Matern52_Cos_1d" / "epoch_1000" / "Q30"
-    assert (rest / "latest.npz").read_bytes() \
-        == b"\x93NUMPY-fake-binary-payload"
+    assert (rest / "latest.npz").read_bytes() == npz_bytes
     assert (rest / "log.txt").exists()
+
+    # restore must NOT clobber a newer working-dir copy (advisor r4):
+    # resume the stream (newer metrics), restore again, file survives
+    import time as _time
+    _time.sleep(0.02)
+    (rest / "metrics_fold0.jsonl").write_text('{"epoch": 99}\n')
+    newer = (rest / "metrics_fold0.jsonl").read_text()
+    os.utime(rest / "metrics_fold0.jsonl")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "archive_streams.py"),
+         "--restore", "abc"], capture_output=True, text=True, check=True,
+        cwd=tmp_path, env=env)
+    assert "skip (destination newer)" in out.stdout
+    assert (rest / "metrics_fold0.jsonl").read_text() == newer

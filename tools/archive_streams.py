@@ -4,12 +4,19 @@
 rotations (measured: the round-3 judge read result_log_r3w directly, and
 by round 4 it was gone — PARITY numbers kept only textual provenance).
 This tool copies the durable essentials of each run — ``log.txt``,
-``metrics_fold0.jsonl``, and the checkpoint's JSON meta sidecar — into
-``artifacts/<campaign>/...`` so the crossing table and headline numbers
-stay verifiable from the repo alone.
+``metrics_fold0.jsonl``, and the resume/best checkpoints IN FULL (npz +
+JSON sidecars; see META below for why sidecar-only archiving was
+retired) — into ``artifacts/<campaign>/...`` so the crossing table and
+headline numbers stay verifiable — and resumable — from the repo alone.
+
+``--restore <tag>`` copies ``artifacts/<tag>`` back to
+``result_log_<tag>`` so ``--resume`` finds the stream after a rotation;
+files already present at the destination and newer than the archive are
+left alone (never clobber live work with stale archive copies).
 
 Usage: python tools/archive_streams.py [result_log_dir ...]
-       (default: every result_log_r4* in the repo root)
+       (default: every result_log_r4* / result_log_r5* in the repo root)
+       python tools/archive_streams.py --restore <tag> [...]
 """
 
 from __future__ import annotations
@@ -44,9 +51,30 @@ def archive(base: str, dest_root: str = "artifacts") -> int:
         dest = os.path.join(dest_root, tag, rel)
         os.makedirs(dest, exist_ok=True)
         for f in chosen:
-            shutil.copy2(os.path.join(dirpath, f), os.path.join(dest, f))
+            src_f, dst_f = os.path.join(dirpath, f), os.path.join(dest, f)
+            shutil.copy2(src_f, dst_f)
+            if f.endswith(".npz") and not _npz_ok(dst_f):
+                # a live run writes latest.npz concurrently; the writer is
+                # atomic (utils/checkpoint.py tmp+os.replace) but re-copy
+                # once in case the copy raced the replace
+                shutil.copy2(src_f, dst_f)
+                if not _npz_ok(dst_f):
+                    print(f"WARNING: archived npz unreadable, skipped: "
+                          f"{dst_f}")
+                    os.remove(dst_f)
+                    continue
             n += 1
     return n
+
+
+def _npz_ok(path: str) -> bool:
+    try:
+        import numpy as np
+        with np.load(path) as d:
+            d.files
+        return True
+    except Exception:
+        return False
 
 
 def restore(tag: str, src_root: str = "artifacts") -> int:
@@ -62,8 +90,17 @@ def restore(tag: str, src_root: str = "artifacts") -> int:
         rel = os.path.relpath(dirpath, src)
         os.makedirs(os.path.join(dest, rel), exist_ok=True)
         for f in files:
-            shutil.copy2(os.path.join(dirpath, f),
-                         os.path.join(dest, rel, f))
+            src_f = os.path.join(dirpath, f)
+            dst_f = os.path.join(dest, rel, f)
+            if os.path.exists(dst_f) \
+                    and os.path.getmtime(dst_f) >= os.path.getmtime(src_f):
+                # a working dir already holds this file at least as new as
+                # the archive — e.g. --restore typed mid-campaign. Never
+                # clobber newer metrics/checkpoints with stale copies (the
+                # data-loss class this tool exists to remediate).
+                print(f"skip (destination newer): {dst_f}")
+                continue
+            shutil.copy2(src_f, dst_f)
             n += 1
     return n
 
@@ -76,7 +113,8 @@ def main(argv):
             print(f"{tag}: {n} files restored")
             total += n
         return 0 if total else 1
-    bases = argv or sorted(glob.glob("result_log_r4*"))
+    bases = argv or sorted(glob.glob("result_log_r4*")
+                           + glob.glob("result_log_r5*"))
     total = 0
     for base in bases:
         n = archive(base)

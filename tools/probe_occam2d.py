@@ -138,29 +138,45 @@ def run_leg(equation, occam, **kw):
     return sol, state, errs, dt
 
 
-def ab(equation, **kw):
-    """Three-way outcome A/B: separable surrogate vs the production SLQ
-    correction vs the exact dense logdet S — identical protocols. The
-    separable/exact ratio answers 'is the marginal ascent
-    surrogate-limited'; the slq/exact ratio answers 'does the production
-    correction recover the exact outcome' (the TPU y2 leg's question, at
-    a grid where the exact term is computable)."""
-    print(f"\n=== Leg B/C: A/B on {equation} (N={N}, scale 1) ===")
+def _arg(flag, default):
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
+def ab(equation, arms=("separable", "slq", "exact"), **kw):
+    """Outcome A/B: separable surrogate vs the production SLQ correction
+    (round 5: control-variated gradient, ops/kron_profile cv=True) vs the
+    exact dense logdet S — identical protocols. The separable/exact ratio
+    answers 'is the marginal ascent surrogate-limited'; the slq/exact
+    ratio answers 'does the production correction recover the exact
+    outcome' at a grid where the exact term is computable."""
+    print(f"\n=== A/B on {equation} (N={N}, scale 1, arms={arms}) ===",
+          flush=True)
     results = {}
-    for occam in ("separable", "slq", "exact"):
+    for occam in arms:
         sol, st, errs, dt = run_leg(equation, occam, **kw)
         results[occam] = errs
         print(f"  {occam:9s}: {dt:.0f}s  " + "  ".join(
-            f"ep{e}: min {m:.3e} last {l:.3e}" for e, m, l in errs))
-    ratio = results["separable"][-1][1] / max(results["exact"][-1][1], 1e-300)
-    rs = results["slq"][-1][1] / max(results["exact"][-1][1], 1e-300)
-    print(f"  min-err ratio separable/exact at ep{EPOCHS[-1]}: {ratio:.2f} "
-          f"({'surrogate-limited' if ratio > 2 else 'NOT surrogate-limited'} "
-          f"at this scale); slq/exact: {rs:.2f}")
+            f"ep{e}: min {m:.3e} last {l:.3e}" for e, m, l in errs),
+            flush=True)
+    if "separable" in results and "exact" in results:
+        ratio = results["separable"][-1][1] / max(results["exact"][-1][1],
+                                                  1e-300)
+        print(f"  min-err ratio separable/exact at ep{EPOCHS[-1]}: "
+              f"{ratio:.2f} "
+              f"({'surrogate-limited' if ratio > 2 else 'NOT surrogate-limited'} "
+              f"at this scale)")
+    if "slq" in results and "exact" in results:
+        rs = results["slq"][-1][1] / max(results["exact"][-1][1], 1e-300)
+        print(f"  slq/exact: {rs:.2f}")
 
 
 def main():
-    print(f"probe_occam2d: N={N} epochs={EPOCHS} fast={FAST}")
+    arms = tuple(_arg("--arms", "separable,slq,exact").split(","))
+    eqs = _arg("--eq", "poisson_2d-sin_sin,poisson_2d-x2y2_add_sinsin")
+    print(f"probe_occam2d: N={N} epochs={EPOCHS} fast={FAST} arms={arms} "
+          f"eq={eqs}", flush=True)
     if "--ab-only" not in sys.argv:
         print("\n=== Leg A: gradient bias along the surrogate trajectory "
               "(sin_sin) ===")
@@ -177,8 +193,12 @@ def main():
             print(f"  trained to ep{e}: min_err {res.min_err:.3e}")
             report_bias(sol, res.params, f"ep{e}")
 
-    ab("poisson_2d-sin_sin")
-    ab("poisson_2d-x2y2_add_sinsin", mean_poly=2)
+    for eq in eqs.split(","):
+        kw = {"mean_poly": 2} if eq == "poisson_2d-x2y2_add_sinsin" else {}
+        if eq.startswith("allencahn"):
+            # the GN profiled engine's production knobs (campaign AC)
+            kw = {"profile_newton_iters": 6}
+        ab(eq, arms=arms, **kw)
 
 
 if __name__ == "__main__":

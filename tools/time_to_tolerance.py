@@ -101,7 +101,7 @@ def budget_epochs(run_dir: str, fallback: int) -> int:
 
 
 def collect(bases):
-    rows, seen = [], set()
+    seen = {}
     for base in bases:
         for metrics in sorted(glob.glob(os.path.join(
                 base, "**", "metrics_fold0.jsonl"), recursive=True)):
@@ -116,25 +116,27 @@ def collect(bases):
             # artifacts/ archive (where the campaign tag is the first
             # path component) and in a (restored) result_log_<tag>
             # working dir (where it is part of the base name). One table
-            # row per distinct stream: key on (tag, run-relative path,
-            # last observed epoch/wall).
+            # row per distinct stream: key on (tag, run-relative path)
+            # ALONE and keep the copy with the most observed epochs — a
+            # restored-and-resumed working dir supersedes its own stale
+            # artifacts snapshot (advisor round-4 finding).
             rel = os.path.relpath(run_dir, base)
             tag = os.path.basename(base.rstrip(os.sep))
             if tag == "artifacts":
                 tag, _, rel = rel.partition(os.sep)
             tag = tag.replace("result_log_", "")
-            key = (tag, rel, last_ep, round(wall, 3))
-            if key in seen:
-                continue
-            seen.add(key)
+            key = (tag, rel)
             meta = run_meta(run_dir)
             # Streams predating the u_mode field are all adam-protocol.
-            rows.append(dict(base=base, equation=eq, metrics=metrics,
-                             c2=c2, c3=c3, min_err=min_err,
-                             n_evals=n, wall=wall, last_ep=last_ep,
-                             u_mode=meta.get("u_mode", "adam"),
-                             budget=budget_epochs(run_dir, last_ep)))
-    return rows
+            row = dict(base=base, equation=eq, metrics=metrics,
+                       c2=c2, c3=c3, min_err=min_err,
+                       n_evals=n, wall=wall, last_ep=last_ep,
+                       u_mode=meta.get("u_mode", "adam"),
+                       budget=budget_epochs(run_dir, last_ep))
+            prev = seen.get(key)
+            if prev is None or last_ep > prev["last_ep"]:
+                seen[key] = row
+    return list(seen.values())
 
 
 def adam_baselines(rows):
