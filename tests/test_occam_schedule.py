@@ -162,3 +162,24 @@ def test_occam_ramp_cli_config_plumbs_to_solver_dict():
     assert cfg.solver_dict()["occam_ramp_epochs"] == 250
     cfg0 = cfg_for(u_mode="profiled", dtype="float64", nepoch=1000)
     assert cfg0.solver_dict()["occam_ramp_epochs"] == 0
+
+
+def test_occam_ramp_counter_survives_segmented_resume():
+    """The ramp counter rides the checkpointed params, so a paused /
+    resumed run (--stop-epoch + --resume, or a rotation restore) keeps
+    the tempering weight continuous across the boundary."""
+    prob = make_problem("poisson_1d-single_sin", N_col=24, scale=2 * np.pi)
+
+    def fresh():
+        return Solver1D(prob, "Matern52_Cos_1d",
+                        dict(CFG, occam_ramp_epochs=40), POLICY)
+
+    s = fresh()
+    r1 = s.train(30, verbose=False, mode="chunked", stop_epoch=15)
+    assert float(r1.params["_epoch"]) == 15.0
+    r2 = fresh().train(30, verbose=False, mode="chunked", start_epoch=15,
+                       init_state=(r1.params, r1.opt_state))
+    assert float(r2.params["_epoch"]) == 30.0
+    full = fresh().train(30, verbose=False, mode="chunked")
+    np.testing.assert_allclose(float(full.min_err), float(r2.min_err),
+                               rtol=1e-10)
