@@ -151,15 +151,15 @@ def wait_for_device() -> bool:
     incident"); probing in a SUBPROCESS keeps this process's JAX runtime
     untouched so a late recovery still works."""
     import subprocess
-    budget = float(os.environ.get("BENCH_PROBE_WAIT_S", "300"))
+    budget = float(os.environ.get("BENCH_PROBE_WAIT_S", "480"))
     deadline = time.time() + min(budget, max(0.0, remaining() - 120))
-    for attempt in range(4):
-        # patient per-try budget: in the degraded-init state a healthy
-        # init can take >90 s, and every killed probe deepens the wedge
-        # (stale claim in the serializing terminal) — fewer, longer
-        # probes recover; rapid-fire short ones never do (measured,
-        # PARITY round-5 incident notes)
-        per_try = min(240, max(10, deadline - time.time()))
+    for attempt in range(2):
+        # ONE patient probe, maybe two: ANY killed probe client re-arms
+        # a ~10-15 min lockout in the serializing terminal (measured,
+        # PARITY round-5 incident notes), so rapid-fire short probes
+        # perpetuate the wedge they probe for. A healthy-but-degraded
+        # init can take minutes on the single-core host.
+        per_try = min(450, max(10, deadline - time.time()))
         try:
             # coreutils timeout -k: SIGTERM first, SIGKILL only 10 s later.
             # A SIGKILLed client can leave a stale claim that wedges the

@@ -22,10 +22,16 @@ set -x
 cd "$(dirname "$0")/.." || exit 1
 export PYTHONPATH="$PWD:/root/.axon_site"
 
+# Probe protocol (measured 2026-08-21, PARITY round-5 incident): ANY
+# killed probe client — TERM or KILL — re-arms a ~10-15 min lockout in
+# the serializing terminal, so short-timeout probe loops perpetuate the
+# wedge they are probing for. One PATIENT probe (900 s: covers degraded
+# init + single-core host contention) succeeds whenever the device is
+# free; after a failure, a LONG quiet sleep lets the lockout expire.
 probe_wait() {
-  until timeout 240 python tools/tpu_probe.py; do
-    echo "device wedged; waiting 120s"
-    sleep 120
+  until timeout 900 python tools/tpu_probe.py; do
+    echo "device wedged; quiet-waiting 600s"
+    sleep 600
   done
 }
 
