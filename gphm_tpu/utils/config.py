@@ -293,4 +293,10 @@ def load_config(equation: str, **overrides) -> RunConfig:
     unknown = set(raw) - fields
     if unknown:
         raise KeyError(f"unknown config keys: {sorted(unknown)}")
-    return RunConfig(**raw)
+    cfg = RunConfig(**raw)
+    if cfg.occam_ramp > 0 and cfg.occam_schedule:
+        raise ValueError(
+            "occam_ramp and occam_schedule are alternative tempering "
+            "mechanisms — set at most one (the ramp is continuous from "
+            "ep0; the schedule is piecewise across budget segments)")
+    return cfg

@@ -150,3 +150,12 @@ def test_phase_exact_resolution():
     from gphm_tpu.ops.df32 import TwoFloat
     assert isinstance(s_on.axis.tau_train, TwoFloat)
     assert not isinstance(s_off.axis.tau_train, TwoFloat)
+
+
+def test_occam_ramp_and_schedule_are_exclusive():
+    import pytest
+
+    from gphm_tpu.utils.config import load_config
+    with pytest.raises(ValueError, match="alternative tempering"):
+        load_config("poisson_1d-single_sin", occam_ramp=0.3,
+                    occam_schedule="0:0.5,1:0.5")
