@@ -1,0 +1,44 @@
+#!/bin/bash
+# Round-5 chain, stage B (r4 VERDICT #5a, #5c, #8, #9).
+#
+#   1. mix_sin reference-protocol stream, continuation leg (--resume):
+#      stage A's leg 1 runs the first ~0.5e6 epochs; this drives the
+#      stream toward the 1e6-epoch budget or its 1e-2 crossing.
+#   2. allencahn_2d shipped-default stream (VERDICT #5c): measures the
+#      shipped-default crossing column directly (adam f32, jitter 1e-5,
+#      1e6-epoch budget) instead of inferring it from the r4x
+#      reference-protocol stream.
+#   3. x_time_sinx shipped-default regen under final_params=best
+#      (VERDICT #8): the run now ENDS at its argmin snapshot; the
+#      stream + stored params_fold0 demonstrate the containment on a
+#      real artifact.
+#   4-5. sin_cos / single_sin shipped-default reruns on the WARM compile
+#      cache (VERDICT #9): the r4 crossing walls were compile-dominated
+#      (~300-500 s); the persistent .jax_cache is a real product surface
+#      (every production rerun after the first pays warm walls), so the
+#      table records both cold (r4) and warm (these) columns honestly.
+set -x
+cd "$(dirname "$0")/.." || exit 1
+export PYTHONPATH="$PWD:/root/.axon_site"
+
+probe_wait() {
+  until timeout 900 python tools/tpu_probe.py; do
+    echo "device wedged; quiet-waiting 600s"
+    sleep 600
+  done
+}
+
+arc() { python tools/archive_streams.py result_log_r5x result_log_r5z \
+          result_log_r5r 2>/dev/null; }
+ref() { probe_wait; timeout "$1" python -m gphm_tpu.cli --no-figures \
+          --reference-protocol --out result_log_r5x "${@:2}"; arc; }
+ours() { probe_wait; timeout "$1" python -m gphm_tpu.cli --no-figures \
+          --out result_log_r5r "${@:2}"; arc; }
+
+ref 3600 --equation poisson_1d-mix_sin --n-evals 400 --resume
+ours 4200 --equation allencahn_2d-mix-sincos --n-evals 300
+ours 2400 --equation poisson_1d-x_time_sinx --n-evals 200
+ours 1200 --equation poisson_1d-sin_cos --n-evals 200
+ours 1200 --equation poisson_1d-single_sin --n-evals 200
+ref 3600 --equation poisson_1d-mix_sin --n-evals 400 --resume
+echo "campaign chain r5b done"
