@@ -36,6 +36,12 @@ ours() { probe_wait; timeout "$1" python -m gphm_tpu.cli --no-figures \
           --out result_log_r5r "${@:2}"; arc; }
 
 ref 3600 --equation poisson_1d-mix_sin --n-evals 400 --resume
+# the faithful x2_add_sinx reference protocol is the TWO-GP trick
+# (reference run_1d.sh pairs this equation with model_GP_solver_1d_extra,
+# change_point 0.01); stage A's single-GP ref stream remains a valid
+# adam baseline (measured: stalls ~5e-2 at 1e6 epochs, which is WHY the
+# reference needs the trick)
+ref 3600 --extra --equation poisson_1d-x2_add_sinx --n-evals 400
 ours 4200 --equation allencahn_2d-mix-sincos --n-evals 300
 ours 2400 --equation poisson_1d-x_time_sinx --n-evals 200
 ours 1200 --equation poisson_1d-sin_cos --n-evals 200
