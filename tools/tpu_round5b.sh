@@ -35,12 +35,10 @@ ref() { probe_wait; timeout "$1" python -m gphm_tpu.cli --no-figures \
 ours() { probe_wait; timeout "$1" python -m gphm_tpu.cli --no-figures \
           --out result_log_r5r "${@:2}"; arc; }
 
-# continue the stage-A occam-ramp leg through the historical cliff
-# region (the MAP default's rollback fires ~ep7.6-9k; the ramp run must
-# OBSERVE that window and beyond to claim zero-rollback)
-run() { probe_wait; timeout "$1" python -m gphm_tpu.cli --no-figures "${@:2}"; arc; }
-run 3600 --out result_log_r5z --equation poisson_1d-mix_sin \
-    --profile-objective marginal --occam-ramp 0.3 --n-evals 100 --resume
+# (stage-A outcome: the occam-ramp leg hit the cliff anyway — NaN at
+# ep7200 at ramp weight ~0.8, one rollback, min 6.74e-4 vs the shipped
+# default's 3.15e-4. The continuation leg is dropped; the ramp is a
+# measured negative, PARITY campaign Z2.)
 ref 3600 --equation poisson_1d-mix_sin --n-evals 400 --resume
 # the faithful x2_add_sinx reference protocol is the TWO-GP trick
 # (reference run_1d.sh pairs this equation with model_GP_solver_1d_extra,
