@@ -133,6 +133,11 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="profile_newton_iters",
                    help="profiled Allen-Cahn: damped Gauss-Newton "
                         "iterations per step (default 3)")
+    p.add_argument("--staged-q", default=None, dest="staged_q",
+                   help="staged mixture growth 'k0:frac': k0 strongest "
+                        "components active from ep0, the rest switch on "
+                        "over the first frac of the budget (pairs with "
+                        "--freq-init spectral)")
     p.add_argument("--final-params", default=None, dest="final_params",
                    choices=["last", "best"],
                    help="'best': end the run at the argmin-eval snapshot "
@@ -245,6 +250,7 @@ def main(argv=None) -> int:
                      occam_weight=args.occam_weight,
                      occam_schedule=args.occam_schedule,
                      occam_ramp=args.occam_ramp,
+                     staged_q=args.staged_q,
                      final_params=args.final_params)
     if args.reference_protocol:
         overrides["reference_protocol"] = True

@@ -254,6 +254,15 @@ class Solver1D:
         elif self.u_mode != "adam":
             raise ValueError(f"unknown u_mode {self.u_mode!r}")
 
+        # Staged Q ("k0:R" via config staged_q_start/staged_q_epochs, see
+        # _kp): works under any u_mode — the gate lives in the kernel-
+        # parameter read path. Needs the _epoch counter leaf (shared with
+        # the Occam ramp).
+        self.staged_q_start = int(config.get("staged_q_start", 0))
+        self.staged_q_epochs = int(config.get("staged_q_epochs", 0))
+        if self.staged_q_start:
+            freeze = list(freeze or []) + ["_epoch"]
+
         from gphm_tpu.models.base import freezable_adam
         self.optimizer = freezable_adam(
             config["lr"], freeze,
@@ -278,6 +287,33 @@ class Solver1D:
     # ------------------------------------------------------------------
     # model internals
     # ------------------------------------------------------------------
+    def _kp(self, params):
+        """Kernel parameters with the staged-Q activation gate applied.
+
+        Staged Q (round-4 VERDICT #4, lever 2: "grow the mixture as lines
+        lock"): with ``staged_q_start = k0`` and ``staged_q_epochs = R``,
+        component i < k0 is active from ep0 and the rest switch on at
+        evenly spaced epochs across (0, R], read from the same frozen
+        ``_epoch`` counter as the Occam ramp. Inactive components get
+        ``log-w - 60`` (weight ~ 1e-26 — numerically absent, gradients
+        ~ 0, so Adam leaves them at their spectral-init placement until
+        activation). With ``freq_init='spectral'`` the init orders
+        components strongest-line-first (priority_order), so activation
+        adds pre-placed lines in descending spectral power."""
+        kp = params["kernel_paras"]
+        k0 = int(getattr(self, "staged_q_start", 0))
+        if not k0:
+            return kp
+        Q = kp["log-w"].shape[0]
+        R = int(getattr(self, "staged_q_epochs", 0))
+        idx = np.arange(Q)
+        act = np.where(idx < k0, 0.0,
+                       R * (idx - k0 + 1) / max(Q - k0, 1))
+        ep = jax.lax.stop_gradient(params["_epoch"])
+        gate = (ep >= jnp.asarray(act, jnp.float32)).astype(
+            kp["log-w"].dtype)
+        return {**kp, "log-w": kp["log-w"] + (gate - 1.0) * 60.0}
+
     def _K_and_Kd(self, kernel_paras, deriv: int = 2):
         """Covariance matrix (with jitter) and derivative cross-covariance —
         the training-step hot pair (one fused XLA broadcast each; a
@@ -314,7 +350,7 @@ class Solver1D:
             linear_ut_star
         tau = jnp.exp(params["log_tau"])
         v = jnp.exp(params["log_v"])
-        K, Kd = self._K_and_Kd(params["kernel_paras"])
+        K, Kd = self._K_and_Kd(self._kp(params))
         wt = self.llk_weight * tau
         if self.eq_type == "poisson_1d":
             ut = linear_ut_star(K, Kd, self._bc_mask, self._bc_b,
@@ -343,7 +379,7 @@ class Solver1D:
         from gphm_tpu.ops.profile1d import linear_ut_beta_star
         tau = jnp.exp(params["log_tau"])
         v = jnp.exp(params["log_v"])
-        K, Kd = self._K_and_Kd(params["kernel_paras"])
+        K, Kd = self._K_and_Kd(self._kp(params))
         wt = self.llk_weight * tau
         ut, beta = linear_ut_beta_star(
             K, Kd, self._H64.astype(K.dtype), self._Hdd64.astype(K.dtype),
@@ -357,7 +393,7 @@ class Solver1D:
         at these params (ops/profile1d.trend_ridge_level; diagnostic,
         checkpoint-cadence only)."""
         from gphm_tpu.ops.profile1d import trend_ridge_level
-        K, Kd = self._K_and_Kd(params["kernel_paras"])
+        K, Kd = self._K_and_Kd(self._kp(params))
         wt = self.llk_weight * jnp.exp(params["log_tau"])
         return float(trend_ridge_level(
             K, Kd, self._H64.astype(K.dtype), self._Hdd64.astype(K.dtype),
@@ -386,7 +422,7 @@ class Solver1D:
         return policy_cholesky(K, self.policy)
 
     def gaps(self, params):
-        K, Kd = self._K_and_Kd(params["kernel_paras"])
+        K, Kd = self._K_and_Kd(self._kp(params))
         mean_u, mean_uxx = self._mean_terms(params, K.dtype)
         if self.whitened:
             # profiled mode stores the whitened latent ut (u = K ut): the
@@ -444,7 +480,7 @@ class Solver1D:
         # hyperparameter direction is proper: as wt or v -> inf the
         # marginal variances saturate at the GP's own.
         from gphm_tpu.ops.profile1d import occam_logdet
-        K, Kd = self._K_and_Kd(params["kernel_paras"])
+        K, Kd = self._K_and_Kd(self._kp(params))
         wt = self.llk_weight * jnp.exp(params["log_tau"])
         v = jnp.exp(params["log_v"])
         B = Kd if self.eq_type == "poisson_1d" \
@@ -488,11 +524,11 @@ class Solver1D:
         and no cond(K) amplification at eval time."""
         cr = self.cross if cross is None else cross
         wide = self.eval_solve_dtype is not None
-        Kmn = cr.eval(self.kernel, params["kernel_paras"], wide=wide)
+        Kmn = cr.eval(self.kernel, self._kp(params), wide=wide)
         if self.whitened:
             alpha = params["u"].astype(Kmn.dtype)
         else:
-            F = self._factor(params["kernel_paras"],
+            F = self._factor(self._kp(params),
                              solve_dtype=self.eval_solve_dtype)
             uu = params["u"].astype(F.L.dtype)
             if self.n_beta:
@@ -545,7 +581,8 @@ class Solver1D:
             freqs = spectral_freqs(
                 x if x is not None else np.asarray(self.X_col),
                 src if src is not None else np.asarray(self.src),
-                int(self.config["Q"]), float(self.config["freq_scale"]))
+                int(self.config["Q"]), float(self.config["freq_scale"]),
+                priority_order=bool(getattr(self, "staged_q_start", 0)))
         params = {
             "log_tau": jnp.zeros((), d),
             "log_v": jnp.zeros((), d),
@@ -558,15 +595,17 @@ class Solver1D:
             # trend coefficients: profiled (closed form) in profiled mode,
             # an ordinary Adam leaf otherwise
             params["beta"] = jnp.zeros((self.n_beta, 1), ud)
-        if getattr(self, "occam_ramp_epochs", 0) > 0:
-            # device-side step counter for the Occam tempering ramp
-            # (frozen in the optimizer, advanced by make_step_fn; f32
-            # counts integers exactly to 2^24 — every shipped budget fits)
+        if getattr(self, "occam_ramp_epochs", 0) > 0 \
+                or getattr(self, "staged_q_start", 0) > 0:
+            # device-side step counter for the Occam tempering ramp and
+            # the staged-Q activation gate (frozen in the optimizer,
+            # advanced by make_step_fn; f32 counts integers exactly to
+            # 2^24 — every shipped budget fits)
             params["_epoch"] = jnp.zeros((), jnp.float32)
         return params
 
     def param_log(self, params):
-        kp = params["kernel_paras"]
+        kp = self._kp(params)
         return {"w_list": jnp.exp(kp["log-w"]), "freq_list": kp["freq"],
                 "ls_list": jnp.exp(kp["log-ls"])}
 

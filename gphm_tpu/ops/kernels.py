@@ -364,7 +364,8 @@ def init_mixture_params(Q: int, freq_scale: float, dtype=jnp.float32,
 
 
 def spectral_freqs(x, values, Q: int, freq_scale: float,
-                   coverage: float = 0.5) -> np.ndarray:
+                   coverage: float = 0.5,
+                   priority_order: bool = False) -> np.ndarray:
     """Mixture frequencies from the periodogram of the PDE source term.
 
     The reference spreads the initial frequencies uniformly,
@@ -436,4 +437,10 @@ def spectral_freqs(x, values, Q: int, freq_scale: float,
                else ((rep + 1) // 2) * (df / 4.0) * (1 if rep % 2 else -1))
         spec.append(max(f + off, 0.0))
     cov = list(np.linspace(0.0, 1.0, max(n_cov, 1)) * freq_scale)[:n_cov]
+    if priority_order:
+        # staged-Q activation ordering (models/solver_1d._kp): spectral
+        # components first — strongest line first, as `spec` is already
+        # ordered — then the linspace coverage tail, so activating the
+        # mixture index-by-index adds lines in descending spectral power
+        return np.asarray(spec + cov, np.float64)
     return np.asarray(cov + spec, np.float64)

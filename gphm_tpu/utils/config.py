@@ -153,6 +153,18 @@ class RunConfig:
                                   # grids only; the ground truth the other
                                   # two are validated against
                                   # (tools/probe_occam2d.py)
+    staged_q: str = ""            # staged mixture growth "k0:frac"
+                                  # (round-4 VERDICT #4, lever 2): start
+                                  # with the k0 strongest components
+                                  # active and switch the rest on at
+                                  # evenly spaced epochs over the first
+                                  # `frac` of the budget. Components are
+                                  # gated by weight (inactive ~ 1e-26, so
+                                  # Adam leaves them at their spectral-
+                                  # init placement until activation);
+                                  # pairs with freq_init='spectral',
+                                  # which then orders components
+                                  # strongest-line-first. "" = off.
     mean_poly: int = -1           # polynomial trend degree (universal
                                   # kriging, ops/meanfn.py): u = H beta +
                                   # GP with beta profiled/trained jointly.
@@ -236,6 +248,11 @@ class RunConfig:
             "occam_weight": self.occam_weight,
             "occam_ramp_epochs": (int(self.occam_ramp * self.nepoch)
                                   if self.occam_ramp > 0 else 0),
+            "staged_q_start": (int(self.staged_q.split(":")[0])
+                               if self.staged_q else 0),
+            "staged_q_epochs": (int(float(self.staged_q.split(":")[1])
+                                    * self.nepoch)
+                                if self.staged_q else 0),
             "final_params": self.final_params,
         }
 
@@ -253,7 +270,7 @@ class RunConfig:
 REFERENCE_RESET = dict(
     u_mode="adam", freq_init="linspace", mean_poly=-1, lr_decay=1.0,
     multi_start=1, dtype_schedule="", n_evals=20, phase_exact="auto",
-    occam_weight=1.0, occam_schedule="", occam_ramp=0.0,
+    occam_weight=1.0, occam_schedule="", occam_ramp=0.0, staged_q="",
     final_params="last",
     nan_policy="warn", dtype="float32", profile_objective="marginal",
 )
