@@ -29,7 +29,7 @@ probe_wait() {
 }
 
 arc() { python tools/archive_streams.py result_log_r5x result_log_r5z \
-          result_log_r5r 2>/dev/null; }
+          result_log_r5r result_log_r5q 2>/dev/null; }
 ref() { probe_wait; timeout "$1" python -m gphm_tpu.cli --no-figures \
           --reference-protocol --out result_log_r5x "${@:2}"; arc; }
 ours() { probe_wait; timeout "$1" python -m gphm_tpu.cli --no-figures \
@@ -39,6 +39,13 @@ ours() { probe_wait; timeout "$1" python -m gphm_tpu.cli --no-figures \
 # ep7200 at ramp weight ~0.8, one rollback, min 6.74e-4 vs the shipped
 # default's 3.15e-4. The continuation leg is dropped; the ramp is a
 # measured negative, PARITY campaign Z2.)
+run() { probe_wait; timeout "$1" python -m gphm_tpu.cli --no-figures "${@:2}"; arc; }
+# VERDICT #4 lever 2: staged mixture growth on the shipped mix_sin
+# engine — 8 strongest pre-placed components from ep0, the rest
+# activating over the first 40% of the budget; the cliff window
+# (~ep7.2-9k) falls mid-activation where the mixture is still small
+run 3600 --out result_log_r5q --equation poisson_1d-mix_sin \
+    --staged-q 8:0.4 --freq-init spectral --n-evals 100
 ref 3600 --equation poisson_1d-mix_sin --n-evals 400 --resume
 # the faithful x2_add_sinx reference protocol is the TWO-GP trick
 # (reference run_1d.sh pairs this equation with model_GP_solver_1d_extra,
