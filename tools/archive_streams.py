@@ -97,8 +97,11 @@ def restore(tag: str, src_root: str = "artifacts") -> int:
                 # a working dir already holds this file at least as new as
                 # the archive — e.g. --restore typed mid-campaign. Never
                 # clobber newer metrics/checkpoints with stale copies (the
-                # data-loss class this tool exists to remediate).
+                # data-loss class this tool exists to remediate). The file
+                # still counts as restored-state-present (a second
+                # --restore of an intact stream is a success, not rc 1).
                 print(f"skip (destination newer): {dst_f}")
+                n += 1
                 continue
             shutil.copy2(src_f, dst_f)
             n += 1
