@@ -25,4 +25,14 @@ probe_wait
 timeout 3300 python -m gphm_tpu.cli --no-figures \
     --out result_log_r5ac --equation allencahn_2d-mix-sincos
 python tools/archive_streams.py result_log_r5ac 2>/dev/null
+
+# complete the stage-B x_time_sinx shipped-default stream to its 10000-
+# epoch budget END (the wall cap cut it ~ep7200): final_params=best
+# applies at run completion, so the stored params_fold0 demonstrates
+# the walk-away containment (VERDICT #8) on a finished default run
+probe_wait
+timeout 1800 python -m gphm_tpu.cli --no-figures \
+    --out result_log_r5r --equation poisson_1d-x_time_sinx \
+    --n-evals 200 --resume
+python tools/archive_streams.py result_log_r5r 2>/dev/null
 echo "campaign chain r5d done"
