@@ -32,7 +32,8 @@ SHIPPED = {
                                    nepoch=20000, kernel_extra=None),
     "poisson_1d-mix_sin": dict(dtype="refined", u_mode="profiled",
                                kernel_extra="Matern52_1d",
-                               profile_objective="map", change_point=0.5),
+                               profile_objective="map", change_point=0.5,
+                               staged_q="8:0.4", freq_init="spectral"),
     "allencahn_1d-single_sin": dict(dtype="float32", u_mode="adam",
                                     nepoch=100000),
     "allencahn_1d-sin_cos": dict(dtype="float32", u_mode="adam",
