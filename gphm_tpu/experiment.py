@@ -28,6 +28,31 @@ from gphm_tpu.utils.config import RunConfig
 from gphm_tpu.utils.logging import MetricsLogger, append_text_log
 
 
+def _final_store_params(config: RunConfig, directory: str, res):
+    """The params stored as the run's final state (params_fold0).
+
+    ``final_params='best'``: prefer the on-disk argmin checkpoint when it
+    beats the in-memory result — a wall-capped leg's in-memory argmin
+    dies with its process, and a resumed continuation may never improve
+    on it (measured round 5: the x_time_sinx resume leg ended 3.5x off
+    the whole-run min until this path existed). Only applies when the
+    stored best and the final params share a tree (same phase for the
+    two-GP family)."""
+    if config.final_params != "best":
+        return res.params
+    best_path = os.path.join(directory, "params_best_fold0.npz")
+    if not os.path.exists(best_path):
+        return res.params
+    from gphm_tpu.utils.checkpoint import load_checkpoint, load_meta
+    try:
+        meta = load_meta(best_path)["meta"]
+        if float(meta.get("min_err", "inf")) <= float(res.min_err) + 1e-300:
+            return load_checkpoint(best_path, res.params)
+    except Exception as e:
+        print(f"WARNING: final_params=best could not load {best_path}: {e}")
+    return res.params
+
+
 def _policy_for(config: RunConfig) -> Policy:
     if not jax.config.jax_enable_x64:
         # x64 must be live for every run: float64 configs would otherwise
@@ -284,6 +309,20 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
         if directory and fold == 0:
             latest = os.path.join(directory, "latest.npz")
             base_latest = os.path.join(directory, "base_latest.npz")
+            best_path = os.path.join(directory, "params_best_fold0.npz")
+            # mid-run argmin persistence: seed from any prior leg's best
+            # so a resumed run never REGRESSES the on-disk best (the
+            # round-5 x_time_sinx lesson — a wall-capped leg's in-memory
+            # argmin dies with the process, and the continuation leg may
+            # never beat it, leaving final_params='best' nothing to
+            # return)
+            best_seen = [float("inf")]
+            if resume and os.path.exists(best_path):
+                try:
+                    best_seen[0] = float(
+                        load_meta(best_path)["meta"].get("min_err", "inf"))
+                except Exception:
+                    pass
 
             def on_checkpoint(epoch, params, opt_state, stats=None):
                 # rolling checkpoint for crash resume (absent from the
@@ -293,6 +332,23 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
                 save_checkpoint(latest, (params, opt_state),
                                 meta={"epoch": epoch, **(stats or {}),
                                       **dataclasses.asdict(config)})
+                # argmin checkpoint at eval time: on_checkpoint fires at
+                # every eval, and stats.min_err improves exactly when the
+                # CURRENT params are the new argmin — persist them so the
+                # best state survives wall caps and resumes
+                mi = (stats or {}).get("min_err")
+                if mi is not None and float(mi) < best_seen[0]:
+                    best_seen[0] = float(mi)
+                    save_checkpoint(
+                        best_path, params,
+                        meta={"epoch": epoch, "min_err": float(mi),
+                              "phase2": config.family == "1d_extra"
+                              and epoch >= int(config.nepoch
+                                               * config.change_point),
+                              # full config rides along: analysis.
+                              # load_model rebuilds RunConfig from this
+                              # meta (same contract as the fold-end save)
+                              **dataclasses.asdict(config)})
                 # ridge-flip observability (ADVICE r2): the augmented-trend
                 # factorization's two-level ridge select is discontinuous
                 # in objective value; log which level the current params
@@ -445,7 +501,8 @@ def run_experiment(config: RunConfig, *, out_base: Optional[str] = "result_log",
 
         if fold == 0 and directory:
             save_checkpoint(
-                os.path.join(directory, "params_fold0.npz"), res.params,
+                os.path.join(directory, "params_fold0.npz"),
+                _final_store_params(config, directory, res),
                 meta=dataclasses.asdict(config))
             save_checkpoint(
                 os.path.join(directory, "opt_state_fold0.npz"),

@@ -450,3 +450,35 @@ def test_final_params_best_returns_argmin_state():
     s_last = Solver1D(prob, "Matern52_Cos_1d", dict(CFG), POLICY)
     res2 = s_last.train(nepoch=200, verbose=False, mode="chunked")
     assert res2.extras["best_params"] is not None
+
+
+def test_final_params_best_survives_wall_cap_and_resume(tmp_path):
+    """Round-5 x_time_sinx lesson: the argmin state must persist ON DISK
+    at eval time, so a wall-capped leg + continuation still ends at the
+    whole-run best under final_params='best' — even when the
+    continuation never improves on the first leg's min."""
+    from gphm_tpu.utils.checkpoint import load_checkpoint, load_meta
+
+    cfg = load_config("poisson_1d-single_sin", dtype="float64", N_col=32,
+                      nepoch=60, Q=4, final_params="best")
+    # leg 1: stop at epoch 30 (simulated wall cap)
+    run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                   figures=False, stop_epoch=30)
+    d = os.path.join(str(tmp_path), "poisson_1d-single_sin",
+                     "kernel_Matern52_Cos_1d", "epoch_60", "Q4")
+    assert os.path.exists(os.path.join(d, "params_best_fold0.npz")), \
+        "mid-run argmin checkpoint must exist after a capped leg"
+    leg1_min = float(load_meta(os.path.join(
+        d, "params_best_fold0.npz"))["meta"]["min_err"])
+    # leg 2: resume to completion
+    res = run_experiment(cfg, out_base=str(tmp_path), verbose=False,
+                         figures=False, resume=True)
+    run_min = res.fold_results[0].min_err
+    assert run_min <= leg1_min + 1e-12
+    # the stored FINAL params must evaluate to the whole-run min
+    from gphm_tpu.experiment import make_solver
+    solver = make_solver(cfg)
+    final = load_checkpoint(os.path.join(d, "params_fold0.npz"),
+                            solver.init_params())
+    err_final = float(solver.eval_err(final))
+    assert err_final <= run_min * (1 + 1e-6), (err_final, run_min)
