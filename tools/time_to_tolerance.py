@@ -128,7 +128,7 @@ def collect(bases):
             key = (tag, rel)
             meta = run_meta(run_dir)
             # Streams predating the u_mode field are all adam-protocol.
-            row = dict(base=base, equation=eq, metrics=metrics,
+            row = dict(base=base, tag=tag, equation=eq, metrics=metrics,
                        c2=c2, c3=c3, min_err=min_err,
                        n_evals=n, wall=wall, last_ep=last_ep,
                        u_mode=meta.get("u_mode", "adam"),
@@ -195,7 +195,7 @@ def main(argv):
         tag = os.path.relpath(os.path.dirname(r["metrics"]),
                               r["base"]).split(os.sep)
         tag = "/".join(p for p in tag if p.startswith(("kernel", "epoch")))
-        print(f"| {r['equation']} | {r['base']}:{tag} | {r['u_mode']} "
+        print(f"| {r['equation']} | {r['tag']}:{tag} | {r['u_mode']} "
               f"| {fmt_cross(r['c2'])} | {fmt_ref(r['c2'], r['equation'], ref)} "
               f"| {fmt_cross(r['c3'])} | {r['min_err']:.2e} |")
 
