@@ -68,7 +68,14 @@ def test_staged_q_config_plumbing():
     sd = cfg.solver_dict()
     assert sd["staged_q_start"] == 8
     assert sd["staged_q_epochs"] == int(0.4 * cfg.nepoch)
+    # staged-Q IS the shipped mix_sin default (campaign Q); off elsewhere
     assert load_config("poisson_1d-mix_sin").solver_dict()[
+        "staged_q_start"] == 8
+    assert load_config("poisson_1d-single_sin").solver_dict()[
+        "staged_q_start"] == 0
+    # the reference protocol strips it
+    assert load_config("poisson_1d-mix_sin",
+                       reference_protocol=True).solver_dict()[
         "staged_q_start"] == 0
 
 
